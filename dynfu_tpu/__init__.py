@@ -1,0 +1,23 @@
+"""dynfu_tpu — a TPU-native DynamicFusion engine (JAX / XLA / Pallas / pjit).
+
+A from-scratch re-design of the capabilities of swarth100/dynfu (C++/CUDA/Opt)
+for TPU hardware:
+
+* depth frontend (dists / bilateral / pyramid / point+normal maps)   -> ops.frontend
+* TSDF volume (integrate / raycast / extract)                        -> ops.tsdf, ops.raycast
+* marching cubes                                                     -> ops.marching_cubes
+* projective point-to-plane ICP                                      -> solver.icp
+* warp field (deformation nodes, dual-quaternion blending)           -> warp.field, core.dualquat
+* k-NN node lookup (replaces nanoflann KD-tree)                      -> ops.knn
+* Gauss-Newton non-rigid solver (replaces the Opt/Terra DSL)         -> solver.gn
+* rigid + non-rigid engines                                          -> engine.kinfu, engine.dynfusion
+* multi-chip sharding (block-partitioned TSDF, psum-reduced GN)      -> dist.sharding
+
+Parity target: the reference's test suites (test/quaternion_test.cpp,
+test/opt_optimisation_test.cpp) at their tolerances, and its demo pipeline
+behavior (src/dynfu/dyn_fusion.cpp), re-expressed as pure-JAX programs.
+"""
+
+__version__ = "0.1.0"
+
+from dynfu_tpu.engine.params import KinFuParams, DynFuParams, Intr  # noqa: F401

@@ -1,0 +1,120 @@
+"""Configuration dataclasses.
+
+Defaults mirror the reference verbatim:
+* KinFuParams::default_params()  — src/kfusion/kinfu.cpp:10-44
+* DynFuParams::defaultParams()   — src/dynfu/dyn_fusion.cpp:6-31
+* non-rigid solver schedule      — src/dynfu/dyn_fusion.cpp:183-189
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+from dynfu_tpu.core.camera import Intr
+
+
+def _deg2rad(a: float) -> float:
+    return a * 0.017453293
+
+
+@dataclasses.dataclass(frozen=True)
+class KinFuParams:
+    # image
+    cols: int = 640
+    rows: int = 480
+    intr: Intr = Intr(525.0, 525.0, 640 / 2 - 0.5, 480 / 2 - 0.5)
+
+    # volume
+    volume_dims: Tuple[int, int, int] = (512, 512, 512)
+    volume_size: Tuple[float, float, float] = (3.0, 3.0, 3.0)  # meters
+    # volume pose: translate so the volume is centered in x/y, 0.5 m in front
+    volume_pose_t: Tuple[float, float, float] = (-1.5, -1.5, 0.5)
+
+    # bilateral filter
+    bilateral_sigma_depth: float = 0.04  # meters
+    bilateral_sigma_spatial: float = 4.5  # pixels
+    bilateral_kernel_size: int = 7  # pixels
+
+    # icp
+    icp_truncate_depth_dist: float = 0.0  # meters, disabled
+    icp_dist_thres: float = 0.1  # meters
+    icp_angle_thres: float = _deg2rad(30.0)
+    icp_iter_num: Tuple[int, ...] = (10, 5, 4, 0)
+
+    # tsdf
+    tsdf_min_camera_movement: float = 0.0  # meters, disabled
+    tsdf_trunc_dist: float = 0.04  # meters
+    tsdf_max_weight: int = 64  # frames
+
+    raycast_step_factor: float = 0.75  # in voxel sizes
+    gradient_delta_factor: float = 0.5  # in voxel sizes
+
+    light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @staticmethod
+    def default_params() -> "KinFuParams":
+        return KinFuParams()
+
+    def with_volume_dims(self, d: int) -> "KinFuParams":
+        return dataclasses.replace(self, volume_dims=(d, d, d))
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    """Non-rigid GN/LM solver schedule (CombinedSolverParameters analog).
+
+    The reference's Opt harness with earlyOut=True effectively runs ONE outer
+    iteration: robust weights from the initial warp state, one full nonlinear
+    solve, then composes translations into the nodes
+    (Opt CombinedSolverBase::singleSolve + opt_solver.cpp:131-140,270-285).
+    """
+
+    num_iter: int = 24
+    nonlinear_iter: int = 16
+    linear_iter: int = 256
+    early_out: bool = True
+    # LM damping used by our solver; Opt's GN has none, LM adapts it.
+    lm_lambda_init: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class DynFuParams:
+    kinfu: KinFuParams = dataclasses.field(
+        default_factory=lambda: KinFuParams().with_volume_dims(128)
+    )
+
+    tukey_offset: float = 4.652
+    lambda_reg: float = 200.0  # regularisation weight λ
+    psi_data: float = 0.01  # tukey biweight cutoff
+    psi_reg: float = 1e-4  # huber weight cutoff
+    L: int = 4  # regularisation hierarchy levels (declared, unused upstream)
+    beta: float = 4.0  # reg-graph update parameter (declared, unused upstream)
+    epsilon: float = 0.1  # decimation density ε
+
+    knn: int = 8  # warp_field.hpp:27
+    node_sample_step: int = 128  # dyn_fusion.cpp:151
+    new_node_dg_w_factor: float = 2.0  # dg_w = 2ε for inserted nodes (warp_field.cpp:79)
+    init_node_dg_w_factor: float = 3.0  # dg_w = 3ε at bootstrap (dyn_fusion.cpp:158)
+    node_voxel_leaf: float = 0.05  # VoxelGrid leaf for node dedup (warp_field.cpp:70)
+
+    solver: SolverParams = dataclasses.field(default_factory=SolverParams)
+
+    # static capacities (JAX needs fixed shapes; reference used std::vector)
+    max_nodes: int = 4096
+    max_vertices: int = 1 << 18
+    max_triangles: int = 2 << 20  # reference preallocates 6M points (marching_cubes.cpp:23)
+
+    @staticmethod
+    def default_params() -> "DynFuParams":
+        return DynFuParams()
+
+    @property
+    def w_reg(self) -> float:
+        raise AttributeError("w_reg depends on the active node count; use solver.gn.w_reg(D, knn, lambda_reg)")
+
+
+def w_reg(lambda_reg: float, D: int, knn: int) -> float:
+    """Per-term regularisation weight sqrt(λ / (D·KNN)) — opt_solver.cpp:30."""
+    return math.sqrt(lambda_reg / (D * knn))

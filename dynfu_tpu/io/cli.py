@@ -1,0 +1,52 @@
+"""`dynfu` command-line entry point (analog of src/apps/demo.cpp).
+
+Usage: dynfu run [--export-viz] [--frames N] [--volume-dims D] <dataset-dir>
+The dataset dir must contain depth/*.png (16-bit depth in mm), as in the
+reference's VolumeDeform layout (demo.cpp:39-55). Outputs per-frame warped
+clouds (.pcd) and meshes (.ply/.vtk) under <dataset-dir>/out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="dynfu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run non-rigid fusion on a dataset dir")
+    run.add_argument("dataset", help="directory with depth/*.png")
+    run.add_argument("--export-viz", action="store_true", help="export phong renders per frame")
+    run.add_argument("--frames", type=int, default=0, help="max frames (0 = all)")
+    run.add_argument("--volume-dims", type=int, default=128)
+    run.add_argument("--out", default=None, help="output dir (default <dataset>/out)")
+
+    bench = sub.add_parser("bench", help="run the synthetic benchmark")
+    bench.add_argument("--volume-dims", type=int, default=512)
+    bench.add_argument("--frames", type=int, default=20)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "run":
+        from dynfu_tpu.io.app import run_dataset
+
+        return run_dataset(
+            args.dataset,
+            out_dir=args.out,
+            max_frames=args.frames,
+            volume_dims=args.volume_dims,
+            export_viz=args.export_viz,
+        )
+    if args.cmd == "bench":
+        from dynfu_tpu.utils.benchmarks import run_benchmark
+
+        result = run_benchmark(volume_dims=args.volume_dims, frames=args.frames)
+        print(result)
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,21 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+This is the "fake backend" trick the reference never had (its gtest suite
+required a physical CUDA GPU): multi-chip sharding tests execute on a virtual
+8-device CPU mesh via XLA's host-platform device-count flag.
+
+NOTE: this environment's TPU plugin ('axon') ignores the JAX_PLATFORMS env
+var, so we must use the config API before any backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
