@@ -1,0 +1,230 @@
+"""The warp field: deformation nodes + dual-quaternion blending (DQB).
+
+TPU re-design of the reference's Warpfield/Node classes
+(include/dynfu/warp_field.hpp, src/dynfu/warp_field.cpp,
+src/dynfu/utils/node.cpp): the node set is a fixed-capacity, mask-padded
+struct-of-arrays pytree; every per-vertex CPU loop of the reference
+(warpToLive, getUnsupportedVertices, calcDQB) becomes one fused, batched
+jitted computation.
+
+Semantics replicated exactly (the solver parity tests depend on them):
+
+* DQB is the *sequential product* of weight-scaled node DQs in nearest-first
+  order, normalized on the real part only (warp_field.cpp:127-148). For the
+  identity-rotation regime this equals the weighted translation sum used by
+  the energy (energy.t:47-55).
+* transformation weight w(v) = exp(-|v - dg_v|^2 / (2 dg_w^2)) (node.cpp:29-36).
+* unsupported vertex: min_k (dist_k / dg_w_k) >= 1 (warp_field.cpp:34-61).
+* node insertion: voxel-grid (5 cm leaf, centroid) downsample of unsupported
+  vertices; new node gets dg_se3 = DQB(position), dg_w = 2*epsilon
+  (warp_field.cpp:63-95).
+* node update composes NEW on the LEFT: dg_se3 <- new * old (node.cpp:19-23).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynfu_tpu.core import dualquat as dq
+from dynfu_tpu.ops import knn
+
+KNN = 8  # warp_field.hpp:27
+
+
+class WarpField(NamedTuple):
+    """Fixed-capacity node set. Active nodes are [0, count); mask is per-slot."""
+
+    pos: jnp.ndarray  # (D, 3) dg_v
+    dqs: jnp.ndarray  # (D, 8) dg_se3
+    w: jnp.ndarray  # (D,)  dg_w radial basis weight
+    mask: jnp.ndarray  # (D,)  bool, active slots
+    count: jnp.ndarray  # ()    int32 active count
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+
+def init_warpfield(positions, dqs=None, weights=None, capacity: int | None = None) -> WarpField:
+    positions = jnp.asarray(positions, jnp.float32)
+    n = positions.shape[0]
+    capacity = capacity or n
+    if dqs is None:
+        dqs = jnp.tile(dq.dq_identity(), (n, 1))
+    else:
+        dqs = jnp.asarray(dqs, jnp.float32)
+    if weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    else:
+        weights = jnp.broadcast_to(jnp.asarray(weights, jnp.float32), (n,))
+
+    pad = capacity - n
+    pos = jnp.pad(positions, ((0, pad), (0, 0)))
+    dqs = jnp.concatenate([dqs, jnp.tile(dq.dq_identity(), (pad, 1))], axis=0)
+    w = jnp.pad(weights, (0, pad), constant_values=1.0)
+    mask = jnp.arange(capacity) < n
+    return WarpField(pos, dqs, w, mask, jnp.int32(n))
+
+
+def transformation_weights(node_pos, node_w, points):
+    """w(v) = exp(-|v - dg_v|^2 / (2 dg_w^2)) — node.cpp:29-36.
+
+    node_pos (..., 3), node_w (...,), points (..., 3) broadcast together.
+    """
+    d2 = jnp.sum((points - node_pos) ** 2, axis=-1)
+    return jnp.exp(-d2 / (2.0 * node_w * node_w))
+
+
+def find_neighbors(wf: WarpField, points, k: int = KNN):
+    """k-NN node indices (Q, k) + sqdists, nearest first (replaces nanoflann)."""
+    return knn.knn_brute(points, wf.pos, k, wf.mask)
+
+
+def calc_dqb(wf: WarpField, points, neighbor_idx=None) -> jnp.ndarray:
+    """Blend node transforms at query points: (Q, 8) dual quaternions.
+
+    Reference (warp_field.cpp:127-148): start from the identity DQ, multiply
+    by each neighbor's dq scaled (dual-only) by its transformation weight, in
+    nearest-first order, then normalize the real part.
+    """
+    points = jnp.asarray(points, jnp.float32)
+    if neighbor_idx is None:
+        neighbor_idx, _ = find_neighbors(wf, points)
+    k = neighbor_idx.shape[-1]
+
+    n_pos = wf.pos[neighbor_idx]  # (Q, k, 3)
+    n_dq = wf.dqs[neighbor_idx]  # (Q, k, 8)
+    n_w = wf.w[neighbor_idx]  # (Q, k)
+    n_valid = wf.mask[neighbor_idx]  # (Q, k) — false only when count < k
+
+    weights = transformation_weights(n_pos, n_w, points[..., None, :])  # (Q, k)
+    scaled = dq.dq_scale(n_dq, weights)
+    # invalid slots multiply by identity (nanoflann would return n<k results)
+    scaled = jnp.where(n_valid[..., None], scaled, dq.dq_identity())
+
+    def step(acc, i):
+        return dq.dq_mul(acc, scaled[..., i, :]), None
+
+    acc = jnp.broadcast_to(dq.dq_identity(), points.shape[:-1] + (8,))
+    for i in range(k):  # k == 8, unrolled; each step is a batched quat product
+        acc = dq.dq_mul(acc, scaled[..., i, :])
+    return dq.dq_normalize(acc)
+
+
+def warp_points_normals(wf: WarpField, points, normals) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """warpToLive: per-point DQB then transform (warp_field.cpp:150-171).
+
+    Note the reference quirk: normals get transformVertex's full transform
+    (translation included) because DualQuaternion::transformNormal is
+    identical to transformVertex.
+    """
+    blend = calc_dqb(wf, points)
+    return dq.dq_transform_point(blend, points), dq.dq_transform_normal(blend, normals)
+
+
+def unsupported_mask(wf: WarpField, points, point_mask=None) -> jnp.ndarray:
+    """True where min over 8-NN of dist/dg_w >= 1 (warp_field.cpp:34-61)."""
+    idx, sqd = find_neighbors(wf, points)
+    n_w = wf.w[idx]
+    valid = wf.mask[idx]
+    ratio = jnp.sqrt(sqd) / n_w
+    ratio = jnp.where(valid, ratio, jnp.inf)
+    unsupported = jnp.min(ratio, axis=-1) >= 1.0
+    if point_mask is not None:
+        unsupported = unsupported & point_mask
+    return unsupported
+
+
+def voxel_downsample(points, point_mask, leaf: float, capacity: int):
+    """Voxel-grid centroid downsample (PCL VoxelGrid analog, warp_field.cpp:67-71).
+
+    Returns (centroids (capacity, 3), mask (capacity,)). Cells are hashed into
+    a fixed table; centroids are emitted sorted by linear cell id (PCL's leaf
+    ordering). Static-shape replacement for the reference's dynamic filter.
+    """
+    points = jnp.asarray(points, jnp.float32)
+    point_mask = jnp.asarray(point_mask, bool)
+    # quantize; PCL uses floor(p / leaf)
+    cell = jnp.floor(points / leaf).astype(jnp.int32)
+    # linear id over a bounded lattice (shift into positive range)
+    B = 1 << 10  # 1024 cells per axis is plenty for a 3 m volume at 5 cm
+    cid = ((cell[:, 0] & (B - 1)) * B + (cell[:, 1] & (B - 1))) * B + (cell[:, 2] & (B - 1))
+    cid = jnp.where(point_mask, cid, -1)
+
+    # segment-reduce into a hash table of size H
+    H = max(2 * capacity, 1024)
+    slot = jnp.where(cid >= 0, cid % H, H)  # masked points -> overflow slot H
+    sums = jnp.zeros((H + 1, 3), jnp.float32).at[slot].add(jnp.where(point_mask[:, None], points, 0.0))
+    cnts = jnp.zeros((H + 1,), jnp.float32).at[slot].add(point_mask.astype(jnp.float32))
+    # representative cell id per slot (min, to sort deterministically)
+    reps = jnp.full((H + 1,), jnp.iinfo(jnp.int32).max, jnp.int32).at[slot].min(
+        jnp.where(cid >= 0, cid, jnp.iinfo(jnp.int32).max)
+    )
+
+    occupied = cnts[:H] > 0
+    order = jnp.argsort(jnp.where(occupied, reps[:H], jnp.iinfo(jnp.int32).max))
+    top = order[:capacity]
+    cent = sums[top] / jnp.maximum(cnts[top, None], 1.0)
+    out_mask = occupied[top]
+    return jnp.where(out_mask[:, None], cent, 0.0), out_mask
+
+
+def insert_nodes(
+    wf: WarpField,
+    new_pos,
+    new_mask,
+    dg_w: float,
+) -> WarpField:
+    """Masked append of new nodes with dg_se3 = DQB(pos), dg_w given.
+
+    Mirrors Warpfield::update's insertion loop (warp_field.cpp:76-83); the
+    KD-tree rebuild is unnecessary here (brute-force k-NN has no index).
+    """
+    new_pos = jnp.asarray(new_pos, jnp.float32)
+    n_new = new_pos.shape[0]
+    new_dq = calc_dqb(wf, new_pos)
+
+    # target slots: count, count+1, ... for each masked-in new node
+    offsets = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    slots = wf.count + offsets
+    in_range = new_mask & (slots < wf.capacity)
+    slots = jnp.where(in_range, slots, wf.capacity)  # out-of-range -> dropped
+
+    pos = jnp.concatenate([wf.pos, jnp.zeros((1, 3), jnp.float32)], 0).at[slots].set(
+        jnp.where(in_range[:, None], new_pos, 0.0)
+    )[: wf.capacity]
+    dqs = jnp.concatenate([wf.dqs, jnp.zeros((1, 8), jnp.float32)], 0).at[slots].set(
+        jnp.where(in_range[:, None], new_dq, 0.0)
+    )[: wf.capacity]
+    w = jnp.concatenate([wf.w, jnp.zeros((1,), jnp.float32)], 0).at[slots].set(
+        jnp.where(in_range, dg_w, 0.0)
+    )[: wf.capacity]
+    added = jnp.sum(in_range.astype(jnp.int32))
+    count = wf.count + added
+    mask = jnp.arange(wf.capacity) < count
+    return WarpField(pos, dqs, w, mask, count)
+
+
+def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: float = 0.05,
+                     max_new: int = 1024) -> WarpField:
+    """Warpfield::update (warp_field.cpp:63-95): find unsupported vertices,
+    voxel-grid downsample them, insert as new nodes with dg_w = 2*epsilon."""
+    unsup = unsupported_mask(wf, verts, vert_mask)
+    cand, cand_mask = voxel_downsample(verts, unsup, leaf, max_new)
+    return insert_nodes(wf, cand, cand_mask, 2.0 * epsilon)
+
+
+def compose_translations(wf: WarpField, translations) -> WarpField:
+    """Apply solver output: dg_se3 <- DQ(t) * dg_se3 for each node.
+
+    Mirrors copyResultToCPUFromFloat3 + Node::updateTransformation
+    (opt_solver.cpp:270-285, node.cpp:19-23): translation-only update,
+    composed on the LEFT.
+    """
+    t_dq = dq.dq_from_translation(jnp.asarray(translations, jnp.float32))
+    new = dq.dq_mul(t_dq, wf.dqs)
+    dqs = jnp.where(wf.mask[:, None], new, wf.dqs)
+    return wf._replace(dqs=dqs)

@@ -1,0 +1,188 @@
+"""Warp-solve parity tests, ported from the reference's Opt integration suite
+(test/opt_optimisation_test.cpp, 7 live tests, tolerance 1e-3).
+
+Each scenario builds the same synthetic node groups and vertex sets as the
+reference fixture, runs the GN solve, and asserts that every source vertex —
+warped through warpfield DQB exactly like the reference's post-solve check
+(calcDQB(v)->transformVertex(v)) — lands on its live target within 1e-3.
+
+The fixture's solver settings (opt_optimisation_test.cpp:36-44): LM with
+earlyOut, 16 nonlinear / 256 linear iterations, lambda = 0 (pure data term).
+"""
+
+import numpy as np
+import pytest
+
+from dynfu_tpu.core import dualquat as dq
+from dynfu_tpu.solver import gn
+from dynfu_tpu.warp import field as wfield
+
+MAX_ERROR = 1e-3
+EPSILON_DYNFU = 0.0015
+TUKEY_OFFSET = 4.652
+PSI_DATA = 1e-2
+LAMBDA = 0.0
+PSI_REG = 1e-4
+DG_W = 2.0
+
+GROUP1 = np.array(
+    [
+        [3, 1, -1], [1, 1, 1], [-1, 2, 3], [-1, -1, 1],
+        [-2, -1, -1], [2, -1, -3], [-1, 1, -1], [2, 1, 1],
+    ],
+    np.float32,
+)
+
+GROUP2 = np.array(
+    [
+        [10, 10, 10], [9, 11.1, 10], [10, 9, 10], [10, 12, 9], [9, 11, 10],
+        [12, 10, 9], [9, 9, 12], [10.5, 9, 9], [10.5, 12, 12], [11, 11, 10.9],
+    ],
+    np.float32,
+)
+
+ALL_NODES = np.concatenate([GROUP1, GROUP2], axis=0)
+
+
+def make_wf(nodes):
+    return wfield.init_warpfield(nodes, weights=DG_W)
+
+
+def run_solve(wf, source, target):
+    wf2, stats = gn.solve(
+        wf,
+        np.asarray(source, np.float32),
+        np.asarray(target, np.float32),
+        tukey_offset=TUKEY_OFFSET,
+        psi_data=PSI_DATA,
+        lambda_reg=LAMBDA,
+        psi_reg=PSI_REG,
+        linear_iter=256,
+    )
+    return wf2, stats
+
+
+def assert_warp_matches(wf, vertices, targets, tol=MAX_ERROR):
+    blend = wfield.calc_dqb(wf, np.asarray(vertices, np.float32))
+    warped = dq.dq_transform_point(blend, np.asarray(vertices, np.float32))
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(targets, np.float32), atol=tol)
+
+
+def test_single_vertex_one_group():
+    # opt_optimisation_test.cpp:212-240
+    wf = make_wf(GROUP1)
+    src = [[0, 0.04, 0]]
+    tgt = [[0.01, 0.03, 0]]
+    wf, _ = run_solve(wf, src, tgt)
+    assert_warp_matches(wf, src, tgt)
+
+
+def test_two_vertices_one_static():
+    # opt_optimisation_test.cpp:243-277
+    wf = make_wf(ALL_NODES)
+    src = [[0, 0.05, 1], [2, 2, 2]]
+    tgt = [[0.01, 0.04, 1.01], [2, 2, 2]]
+    wf, _ = run_solve(wf, src, tgt)
+    assert_warp_matches(wf, src, tgt)
+
+
+SRC5 = [[-3, -3, -3], [-2, -2, -2], [0.01, 0.01, 0.01], [2, 2, 2], [3, 3, 3]]
+TGT5 = [[-2.99, -2.99, -2.99], [-1.99, -1.99, -1.99], [0.02, 0.02, 0.02],
+        [2.01, 2.01, 2.01], [3.01, 3.01, 3.01]]
+
+
+def test_multiple_vertices_one_group():
+    # opt_optimisation_test.cpp:280-326
+    wf = make_wf(GROUP1)
+    wf, _ = run_solve(wf, SRC5, TGT5)
+    assert_warp_matches(wf, SRC5, TGT5)
+
+
+def test_one_group_vertices_two_groups_nodes():
+    # opt_optimisation_test.cpp:329-375
+    wf = make_wf(ALL_NODES)
+    wf, _ = run_solve(wf, SRC5, TGT5)
+    assert_warp_matches(wf, SRC5, TGT5)
+
+
+def test_two_groups_vertices_two_groups_nodes():
+    # opt_optimisation_test.cpp:378-452
+    wf = make_wf(ALL_NODES)
+    src = SRC5 + [[12, 12, 12], [11, 11, 11], [10, 10, 10], [10.5, 10.5, 10.5], [11.5, 11.5, 11.5]]
+    tgt = TGT5 + [[11.99, 11.99, 11.99], [10.99, 10.99, 10.99], [9.99, 9.99, 9.99],
+                  [10.51, 10.51, 10.51], [11.49, 11.49, 11.49]]
+    wf, _ = run_solve(wf, src, tgt)
+    assert_warp_matches(wf, src, tgt)
+
+
+SRC5B = [[-3, -3, -3], [-2, -2, -2], [0.04, 0.04, 0.04], [2, 2, 2], [3, 3, 3]]
+TGT5B = [[-2.99, -2.99, -2.99], [-1.99, -1.99, -1.99], [0.05, 0.05, 0.05],
+         [2.01, 2.01, 2.01], [3.01, 3.01, 3.01]]
+TGT5C = [[-2.98, -2.98, -2.98], [-1.98, -1.98, -1.98], [0.06, 0.06, 0.06],
+         [2.02, 2.02, 2.02], [3.02, 3.02, 3.02]]
+
+
+def test_warp_twice_sequential():
+    # opt_optimisation_test.cpp:454-528: solve, re-warp canonical, solve again;
+    # final check warps the ORIGINAL canonical vertices through the composed field.
+    wf = make_wf(GROUP1)
+    wf, _ = run_solve(wf, SRC5B, TGT5B)
+    assert_warp_matches(wf, SRC5B, TGT5B)
+
+    blend = wfield.calc_dqb(wf, np.asarray(SRC5B, np.float32))
+    warped1 = np.asarray(dq.dq_transform_point(blend, np.asarray(SRC5B, np.float32)))
+
+    wf, _ = run_solve(wf, warped1, TGT5C)
+    assert_warp_matches(wf, SRC5B, TGT5C)
+
+
+def test_warp_thrice_sequential():
+    # opt_optimisation_test.cpp:530-630
+    wf = make_wf(GROUP1)
+    wf, _ = run_solve(wf, SRC5B, TGT5B)
+    assert_warp_matches(wf, SRC5B, TGT5B)
+
+    blend = wfield.calc_dqb(wf, np.asarray(SRC5B, np.float32))
+    warped1 = np.asarray(dq.dq_transform_point(blend, np.asarray(SRC5B, np.float32)))
+    wf, _ = run_solve(wf, warped1, TGT5C)
+    assert_warp_matches(wf, SRC5B, TGT5C)
+
+    blend = wfield.calc_dqb(wf, np.asarray(warped1, np.float32))
+    warped2 = np.asarray(dq.dq_transform_point(blend, np.asarray(warped1, np.float32)))
+    tgt3 = [[-2.96, -2.96, -2.96], [-1.96, -1.96, -1.96], [0.09, 0.09, 0.09],
+            [2.04, 2.04, 2.04], [3.05, 3.05, 3.05]]
+    wf, _ = run_solve(wf, warped2, tgt3)
+    # reference checks warped1 (canonicalFrameWarpedToLive) against tgt3
+    assert_warp_matches(wf, warped1, tgt3)
+
+
+def test_warp_and_reverse():
+    # opt_optimisation_test.cpp:632-698: forward solve then reverse solve;
+    # the reverse check asserts live vertices map to themselves (fixed point).
+    wf = make_wf(GROUP1)
+    wf, _ = run_solve(wf, SRC5B, TGT5B)
+    assert_warp_matches(wf, SRC5B, TGT5B)
+
+    wf, _ = run_solve(wf, TGT5B, SRC5B)
+    assert_warp_matches(wf, SRC5B, SRC5B)
+
+
+def test_solver_cost_decreases():
+    wf = make_wf(GROUP1)
+    _, stats = run_solve(wf, SRC5B, TGT5B)
+    assert float(stats.final_cost) <= float(stats.initial_cost)
+    assert float(stats.final_cost) < 1e-9
+
+
+def test_solve_with_padded_capacity():
+    """New-framework property: solving with capacity padding (mask discipline)
+    must give identical results to the tight layout."""
+    wf_tight = make_wf(GROUP1)
+    wf_pad = wfield.init_warpfield(GROUP1, weights=DG_W, capacity=64)
+    a, _ = run_solve(wf_tight, SRC5B, TGT5B)
+    b, _ = run_solve(wf_pad, SRC5B, TGT5B)
+    va = np.asarray(dq.dq_transform_point(wfield.calc_dqb(a, np.asarray(SRC5B, np.float32)),
+                                          np.asarray(SRC5B, np.float32)))
+    vb = np.asarray(dq.dq_transform_point(wfield.calc_dqb(b, np.asarray(SRC5B, np.float32)),
+                                          np.asarray(SRC5B, np.float32)))
+    np.testing.assert_allclose(va, vb, atol=1e-6)
