@@ -1,0 +1,209 @@
+"""DynamicFusion orchestrator: the non-rigid reconstruction loop.
+
+Python host class mirroring DynFusion (include/dynfu/dyn_fusion.hpp:45-90,
+src/dynfu/dyn_fusion.cpp) on top of the rigid KinFu engine, with the entire
+per-frame compute as cached jitted programs.
+
+Per-frame flow (DynFusion::operator(), dyn_fusion.cpp:48-144):
+  dists -> bilateral -> [truncate]
+  frame 0 (dyn_fusion.cpp:68-98):
+    integrate -> marching cubes -> canonical frame (triangle-soup vertices,
+    normals = PLACEHOLDER COPY OF VERTICES, the reference's FIXME'd
+    workaround) -> node sampling every 128th vertex, identity DQ, dg_w = 3eps
+    (dyn_fusion.cpp:151-158) -> warpfield init.
+  frame k (dyn_fusion.cpp:100-144):
+    pose stays IDENTITY (rigid ICP deliberately not run, dyn_fusion.cpp:102-105)
+    -> volume CLEAR + re-integrate from the live depth (the reference's
+    FIXME'd workaround at dyn_fusion.cpp:107-116) -> marching cubes -> live
+    frame -> warp canonical to live -> 1-NN correspondence (live vertex ->
+    warped-canonical vertex, dyn_fusion.cpp:212-242) -> GN solve
+    (warpCanonicalToLiveOpt, dyn_fusion.cpp:182-210) -> warpfield update
+    (node insertion at unsupported vertices, warp_field.cpp:63-95).
+
+`strict_parity=True` (default) reproduces the reference quirks exactly
+(identity pose, clear+reintegrate, placeholder normals). `strict_parity=
+False` enables the fixed behaviors: real marching-cubes normals from the
+TSDF gradient and rigid ICP for the camera pose — the capabilities the
+reference scaffolded but never wired (extractNormals exists but is unused;
+"icp--not being done yet").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynfu_tpu.core import se3
+from dynfu_tpu.engine.kinfu import KinFu
+from dynfu_tpu.engine.params import DynFuParams
+from dynfu_tpu.mesh import marching_cubes
+from dynfu_tpu.ops import imgproc, knn
+from dynfu_tpu.solver import gn
+from dynfu_tpu.volume import tsdf as tv
+from dynfu_tpu.warp import field as wfield
+
+
+class Frame(NamedTuple):
+    """dynfu::Frame analog (include/dynfu/utils/frame.hpp:15-33):
+    fixed-capacity masked vertex/normal buffers."""
+
+    idx: int
+    vertices: jnp.ndarray  # (N, 3)
+    normals: jnp.ndarray  # (N, 3)
+    mask: jnp.ndarray  # (N,)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "step", "dg_w"))
+def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
+    """Every `step`-th valid vertex becomes a node with identity DQ
+    (DynFusion::init, dyn_fusion.cpp:151-158). The reference indexes the raw
+    (dense) vertex array; here validity-compaction is implicit in the mask."""
+    n = verts.shape[0]
+    idx = jnp.arange(0, n, step)
+    pos = verts[idx]
+    mask = vert_mask[idx]
+    # pad/trim to capacity
+    k = idx.shape[0]
+    if k >= capacity:
+        pos, mask = pos[:capacity], mask[:capacity]
+    else:
+        pos = jnp.pad(pos, ((0, capacity - k), (0, 0)))
+        mask = jnp.pad(mask, (0, capacity - k))
+    count = jnp.sum(mask.astype(jnp.int32))
+    # compact valid nodes to the front so count/mask stay consistent
+    order = jnp.argsort(~mask, stable=True)
+    pos = pos[order]
+    mask = mask[order]
+    dqs = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0, 0], jnp.float32), (capacity, 1))
+    w = jnp.where(mask, dg_w, 1.0)
+    return wfield.WarpField(pos, dqs, w, mask, count)
+
+
+@jax.jit
+def _correspondence(warped_verts, warped_normals, warped_mask, live_verts, live_mask):
+    """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
+    the 1-NN WARPED canonical vertex/normal, indexed like the live frame."""
+    idx, _ = knn.nn1_blocked(live_verts, warped_verts, warped_mask)
+    return warped_verts[idx], warped_normals[idx], live_mask
+
+
+class DynFusion(KinFu):
+    """Non-rigid fusion engine. Call with (H, W) int32 mm depth images."""
+
+    def __init__(self, params: Optional[DynFuParams] = None, strict_parity: bool = True):
+        self.dynfu_params = params or DynFuParams.default_params()
+        self.strict_parity = strict_parity
+        super().__init__(self.dynfu_params.kinfu)
+        self.warpfield: Optional[wfield.WarpField] = None
+        self.canonical: Optional[Frame] = None
+        self.canonical_warped: Optional[Frame] = None
+        self.live: Optional[Frame] = None
+        self.mesh_vertices = None  # last MC triangle soup (buffer, count)
+
+    # -- helpers ------------------------------------------------------------
+    def _mc_frame(self, idx: int) -> Frame:
+        """Marching cubes -> triangle-soup Frame. Normals are a placeholder
+        copy of the vertices in parity mode (pcl::copyPointCloud workaround,
+        dyn_fusion.cpp:80-88,126-134); real TSDF-gradient normals otherwise."""
+        dp = self.dynfu_params
+        verts, n_verts = marching_cubes(
+            self.vol, self.tsdf_config,
+            max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
+        )
+        mask = jnp.arange(verts.shape[0]) < n_verts
+        self.mesh_vertices = (verts, n_verts)
+        if self.strict_parity:
+            normals = verts
+        else:
+            world = verts  # volume frame == canonical frame here
+            normals = tv.extract_normals(self.vol, world, self.tsdf_config)
+        return Frame(idx, verts, normals, mask)
+
+    def _preprocess_nonrigid(self, depth_mm: jnp.ndarray):
+        """dists/bilateral/truncate only (dyn_fusion.cpp:53-65; no pyramid —
+        the non-rigid path never runs multi-scale ICP in parity mode)."""
+        p = self.params
+        dists = imgproc.compute_dists(depth_mm, p.intr)
+        filtered = imgproc.bilateral_filter(
+            depth_mm, p.bilateral_kernel_size, p.bilateral_sigma_spatial,
+            p.bilateral_sigma_depth,
+        )
+        if p.icp_truncate_depth_dist > 0:
+            filtered = imgproc.truncate_depth(filtered, p.icp_truncate_depth_dist)
+        return dists, filtered
+
+    # -- the loop -----------------------------------------------------------
+    def __call__(self, depth_mm) -> bool:
+        dp = self.dynfu_params
+        p = self.params
+        depth_mm = jnp.asarray(depth_mm, jnp.int32)
+        dists, filtered = self._preprocess_nonrigid(depth_mm)
+
+        if self.frame_counter == 0:
+            self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
+                                    self.tsdf_config)
+            frame = self._mc_frame(0)
+            self.canonical = frame
+            self.canonical_warped = frame
+            self.warpfield = _sample_nodes(
+                frame.vertices, frame.mask, dp.max_nodes, dp.node_sample_step,
+                dp.init_node_dg_w_factor * dp.epsilon,
+            )
+            self.frame_counter += 1
+            return False
+
+        # pose: identity increment in parity mode (dyn_fusion.cpp:102-105)
+        self.poses.append(self.poses[-1])
+
+        # clear + re-integrate from live depth (dyn_fusion.cpp:107-116)
+        self.vol = tv.clear(self.vol)
+        self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
+                                self.tsdf_config)
+        self.live = self._mc_frame(self.frame_counter)
+
+        self._warp_canonical_to_live()
+        self.warpfield = wfield.update_warpfield(
+            self.warpfield, self.canonical_warped.vertices,
+            self.canonical_warped.mask, dp.epsilon, dp.node_voxel_leaf,
+            dp.max_new_nodes,
+        )
+
+        self.frame_counter += 1
+        return True
+
+    def _warp_canonical_to_live(self):
+        """warpCanonicalToLiveOpt (dyn_fusion.cpp:182-210)."""
+        dp = self.dynfu_params
+        c = self.canonical
+
+        wv, wn = wfield.warp_points_normals(self.warpfield, c.vertices, c.normals)
+        self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
+
+        corr_v, corr_n, corr_mask = _correspondence(
+            wv, wn, c.mask, self.live.vertices, self.live.mask
+        )
+
+        self.warpfield, self.last_solve_stats = gn.solve(
+            self.warpfield, corr_v, self.live.vertices,
+            vert_mask=corr_mask & self.live.mask,
+            tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+            lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
+            linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+        )
+
+    # -- outputs ------------------------------------------------------------
+    def get_canonical_warped_to_live(self) -> Frame:
+        return self.canonical_warped
+
+    def warped_cloud(self):
+        """Current warped canonical vertices (the .pcd export of the demo app,
+        demo.cpp:21-31). Returns (verts (N,3), mask)."""
+        f = self.canonical_warped
+        return f.vertices, f.mask
+
+    def mesh(self):
+        """Last extracted triangle soup (verts buffer, count)."""
+        return self.mesh_vertices

@@ -1,0 +1,161 @@
+"""Rigid KinectFusion pipeline orchestrator.
+
+Python host class mirroring kfusion::KinFu (include/kfusion/kinfu.hpp:64-113,
+src/kfusion/kinfu.cpp:46-316). The host side orchestrates; every per-frame
+computation is a jitted device program with static shapes, so frame k>0
+replays cached executables only.
+
+Per-frame flow (KinFu::operator(), kinfu.cpp:140-234, points/USE_DEPTH-off
+path — the variant the reference builds by default):
+  dists -> bilateral -> [truncate] -> point/normal pyramid (via depth
+  pyramid)  ->  frame 0: integrate, stash pyramid  ->  frame k: ICP against
+  previous raycast pyramid -> pose push -> clear + re-integrate (the
+  reference always clears, kinfu.cpp:201-207) -> raycast into the new
+  reference pyramid.
+
+Differences from the reference, by design:
+* failure flow: degenerate ICP resets the reconstruction (same), but the
+  whole pipeline is functional — `reset()` just reinstalls the initial state
+  pytree.
+* pose history is a Python list of (R, t) jnp pairs (reference keeps
+  std::vector<Affine3f>, kinfu.cpp:121-127).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynfu_tpu.core import se3
+from dynfu_tpu.engine.params import KinFuParams
+from dynfu_tpu.ops import imgproc
+from dynfu_tpu.rigid import icp
+from dynfu_tpu.volume import tsdf as tv
+
+
+class KinFu:
+    """Rigid fusion engine. Call with a (H, W) int32 mm depth image."""
+
+    def __init__(self, params: Optional[KinFuParams] = None):
+        self.params = params or KinFuParams.default_params()
+        p = self.params
+        assert p.volume_dims[0] % 32 == 0  # kinfu.cpp:47
+        self.tsdf_config = tv.TsdfConfig(
+            dims=p.volume_dims,
+            size=p.volume_size,
+            trunc_dist=p.tsdf_trunc_dist,
+            max_weight=p.tsdf_max_weight,
+            raycast_step_factor=p.raycast_step_factor,
+            gradient_delta_factor=p.gradient_delta_factor,
+        )
+        self.levels = len(p.icp_iter_num)
+        self.volume_pose = (
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.asarray(p.volume_pose_t, jnp.float32),
+        )
+        self.reset()
+
+    # -- accessors (reference kinfu.hpp:74-90) ------------------------------
+    def tsdf(self) -> tv.TsdfVolume:
+        return self.vol
+
+    def get_camera_pose(self, time: int = -1):
+        """poses_[time] with the reference's clamp semantics (kinfu.cpp:133-139)."""
+        if time > len(self.poses) or time < 0:
+            time = len(self.poses) - 1
+        return self.poses[time]
+
+    def reset(self):
+        """Pose -> identity, volume cleared (kinfu.cpp:121-130)."""
+        if getattr(self, "frame_counter", 0):
+            print("Reset")
+        self.frame_counter = 0
+        self.poses: List[Tuple[jnp.ndarray, jnp.ndarray]] = [se3.identity()]
+        self.vol = tv.create(self.tsdf_config, self.volume_pose)
+        self.prev_pyr = None
+
+    # -- per-frame ----------------------------------------------------------
+    def _preprocess(self, depth_mm: jnp.ndarray):
+        """dists + filtered depth + point/normal pyramid (kinfu.cpp:144-161)."""
+        p = self.params
+        dists = imgproc.compute_dists(depth_mm, p.intr)
+        filtered = imgproc.bilateral_filter(
+            depth_mm, p.bilateral_kernel_size, p.bilateral_sigma_spatial,
+            p.bilateral_sigma_depth,
+        )
+        if p.icp_truncate_depth_dist > 0:
+            filtered = imgproc.truncate_depth(filtered, p.icp_truncate_depth_dist)
+
+        depth_pyr = [filtered]
+        for _ in range(1, self.levels):
+            depth_pyr.append(
+                imgproc.depth_pyramid_down(depth_pyr[-1], p.bilateral_sigma_depth)
+            )
+        pyr = [
+            imgproc.compute_points_normals(d, p.intr.level(i))
+            for i, d in enumerate(depth_pyr)
+        ]
+        return dists, pyr
+
+    def __call__(self, depth_mm) -> bool:
+        p = self.params
+        depth_mm = jnp.asarray(depth_mm, jnp.int32)
+        dists, curr_pyr = self._preprocess(depth_mm)
+
+        if self.frame_counter == 0:
+            self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
+                                    self.tsdf_config)
+            self.prev_pyr = curr_pyr
+            self.frame_counter += 1
+            return False
+
+        (R, t), ok = icp.estimate_transform(
+            curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
+            dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
+        )
+        if not bool(ok):
+            self.reset()
+            return False
+
+        # pose = pose * affine (curr -> global), kinfu.cpp:194
+        self.poses.append(se3.compose(self.poses[-1], (R, t)))
+
+        # always clear + reintegrate (reference kinfu.cpp:201-207)
+        self.vol = tv.clear(self.vol)
+        self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
+                                self.tsdf_config)
+
+        # raycast the fused model into the new reference pyramid
+        pts, nrm = tv.raycast(
+            self.vol, self.poses[-1], p.intr, (p.rows, p.cols), self.tsdf_config
+        )
+        prev = [(pts, nrm)]
+        for _ in range(1, self.levels):
+            prev.append(imgproc.resize_points_normals(*prev[-1]))
+        self.prev_pyr = prev
+
+        # frames 0 and 1 return False, later frames True (kinfu.cpp:229-233)
+        was = self.frame_counter
+        self.frame_counter += 1
+        return was >= 2
+
+    # -- rendering (kinfu.cpp:261-316) --------------------------------------
+    def render(self, flag: int = 0):
+        """Phong render of the current reference model view.
+
+        flag 0: shaded surface; 1: tangent-color normals; 3: side-by-side
+        (KinFu::renderImage, kinfu.cpp:261-292).
+        """
+        if self.prev_pyr is None:
+            raise RuntimeError("no frames processed")
+        pts, nrm = self.prev_pyr[0]
+        p = self.params
+        if flag < 1 or flag > 3:
+            return imgproc.render_image_points(pts, nrm, p.light_pose)
+        if flag == 2:
+            return imgproc.render_tangent_colors(nrm)
+        a = imgproc.render_image_points(pts, nrm, p.light_pose)
+        b = imgproc.render_tangent_colors(nrm)
+        return jnp.concatenate([a, b], axis=1)

@@ -105,6 +105,8 @@ class DynFuParams:
     max_nodes: int = 4096
     max_vertices: int = 1 << 18
     max_triangles: int = 2 << 20  # reference preallocates 6M points (marching_cubes.cpp:23)
+    max_mc_voxels: int = 1 << 17  # occupied-voxel compaction capacity
+    max_new_nodes: int = 1024  # node insertions per warpfield update
 
     @staticmethod
     def default_params() -> "DynFuParams":

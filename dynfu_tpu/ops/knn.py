@@ -62,6 +62,12 @@ def nn1(queries: jnp.ndarray, points: jnp.ndarray, point_mask=None):
     return idx, jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0]
 
 
+def nn1_blocked(queries, points, point_mask=None, block: int = 4096):
+    """Blocked 1-NN: same result as nn1 with peak memory (block, P)."""
+    idx, sqd = knn_blocked(queries, points, 1, point_mask, block)
+    return idx[:, 0], sqd[:, 0]
+
+
 def knn_blocked(
     queries: jnp.ndarray,
     points: jnp.ndarray,

@@ -1,0 +1,12 @@
+from dynfu_tpu.volume.tsdf import (  # noqa: F401
+    TsdfConfig,
+    TsdfVolume,
+    clear,
+    create,
+    extract_cloud,
+    extract_normals,
+    integrate,
+    interpolate,
+    raycast,
+    raycast_depth,
+)

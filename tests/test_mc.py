@@ -1,0 +1,117 @@
+"""Marching cubes: table self-consistency + watertight meshing of analytic
+surfaces (the strongest possible check on LUT correctness)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dynfu_tpu.mesh import marching_cubes, tables
+from dynfu_tpu.volume import tsdf as tv
+
+
+def test_tables_consistent_with_crossings():
+    """Every case's referenced edges == exactly its sign-crossing edges."""
+    for c in range(256):
+        inside = [(c >> i) & 1 for i in range(8)]
+        crossed = {
+            e
+            for e, (a, b) in enumerate(tables.EDGE_CORNERS)
+            if inside[a] != inside[b]
+        }
+        used = {int(x) for x in tables.TRI_TABLE[c] if x >= 0}
+        assert used.issubset(crossed), f"case {c}: non-crossed edge used"
+        if used:
+            assert used == crossed, f"case {c}: crossed edge unused"
+    assert tables.NUM_VERTS_TABLE[0] == 0 and tables.NUM_VERTS_TABLE[255] == 0
+    assert tables.NUM_VERTS_TABLE.max() == 15
+
+
+def sphere_volume(cfg, center, radius):
+    X, Y, Z = cfg.dims
+    vs = cfg.voxel_size
+    # MC samples tsdf at voxel centers (+0.5 shift)
+    x = (np.arange(X) + 0.5) * vs[0]
+    y = (np.arange(Y) + 0.5) * vs[1]
+    z = (np.arange(Z) + 0.5) * vs[2]
+    g = np.stack(np.meshgrid(x, y, z, indexing="ij"), -1)
+    d = np.linalg.norm(g - np.asarray(center), axis=-1) - radius
+    t = np.clip(d / cfg.trunc_dist, -1, 1).astype(np.float16)
+    vol = tv.create(cfg)
+    return vol._replace(tsdf=jnp.asarray(t), weight=jnp.ones(cfg.dims, jnp.uint8))
+
+
+def run_sphere(dims=32):
+    cfg = tv.TsdfConfig(dims=(dims,) * 3, size=(1.0, 1.0, 1.0), trunc_dist=0.08)
+    center, radius = (0.5, 0.5, 0.5), 0.3
+    vol = sphere_volume(cfg, center, radius)
+    verts, n = marching_cubes(vol, cfg, max_voxels=1 << 15, max_verts=3 * 20000)
+    n = int(n)
+    verts = np.asarray(verts)[:n]
+    return verts, center, radius
+
+
+def test_sphere_vertices_on_surface():
+    verts, center, radius = run_sphere()
+    assert len(verts) > 1000 and len(verts) % 3 == 0
+    r = np.linalg.norm(verts - np.asarray(center), axis=-1)
+    # linear interpolation of a truncated SDF: sub-voxel accuracy
+    assert np.abs(r - radius).max() < 0.01
+
+
+def test_sphere_mesh_watertight():
+    """Closed surface: every undirected edge shared by exactly 2 triangles,
+    every directed edge appearing exactly once (consistent orientation).
+    Any LUT typo breaks this immediately."""
+    verts, _, _ = run_sphere()
+    tris = verts.reshape(-1, 3, 3)
+    # quantize vertices to merge identical interpolated positions
+    q = np.round(verts / 1e-6).astype(np.int64)
+    _, inv = np.unique(q, axis=0, return_inverse=True)
+    tri_idx = inv.reshape(-1, 3)
+    # drop degenerate triangles (repeated vertex ids)
+    ok = (
+        (tri_idx[:, 0] != tri_idx[:, 1])
+        & (tri_idx[:, 1] != tri_idx[:, 2])
+        & (tri_idx[:, 0] != tri_idx[:, 2])
+    )
+    tri_idx = tri_idx[ok]
+    directed = {}
+    for a, b, c in tri_idx:
+        for u, v in ((a, b), (b, c), (c, a)):
+            directed[(u, v)] = directed.get((u, v), 0) + 1
+    # consistent orientation: each directed edge once, opposite edge once
+    for (u, v), cnt in directed.items():
+        assert cnt == 1, f"directed edge {(u, v)} seen {cnt} times"
+        assert directed.get((v, u), 0) == 1, f"edge {(u, v)} unmatched"
+
+
+def test_sphere_normals_orientation():
+    """Triangle winding must face a consistent direction vs the SDF gradient
+    (outward for tsdf = positive-outside)."""
+    verts, center, _ = run_sphere()
+    tris = verts.reshape(-1, 3, 3)
+    n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    nn = np.linalg.norm(n, axis=-1)
+    keep = nn > 1e-12
+    n = n[keep] / nn[keep, None]
+    centroid = tris[keep].mean(axis=1) - np.asarray(center)
+    centroid /= np.linalg.norm(centroid, axis=-1, keepdims=True)
+    d = np.sum(n * centroid, axis=-1)
+    # all faces point the same way relative to outward
+    assert (d < 0).all() or (d > 0).all()
+
+
+def test_weight_gating_blocks_unobserved_cells():
+    cfg = tv.TsdfConfig(dims=(16, 16, 16), size=(1.0, 1.0, 1.0), trunc_dist=0.1)
+    vol = sphere_volume(cfg, (0.5, 0.5, 0.5), 0.3)
+    vol0 = vol._replace(weight=jnp.zeros(cfg.dims, jnp.uint8))
+    _, n = marching_cubes(vol0, cfg, max_voxels=1 << 12, max_verts=3 * 4096)
+    assert int(n) == 0
+
+
+def test_capacity_truncation_is_safe():
+    cfg = tv.TsdfConfig(dims=(32, 32, 32), size=(1.0, 1.0, 1.0), trunc_dist=0.08)
+    vol = sphere_volume(cfg, (0.5, 0.5, 0.5), 0.3)
+    verts, n = marching_cubes(vol, cfg, max_voxels=256, max_verts=300)
+    assert int(n) <= 300
+    assert np.isfinite(np.asarray(verts)).all()
