@@ -85,9 +85,11 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
 @jax.jit
 def _correspondence(warped_verts, warped_normals, warped_mask, live_verts, live_mask):
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
-    the 1-NN WARPED canonical vertex/normal, indexed like the live frame."""
-    idx, _ = knn.nn1_blocked(live_verts, warped_verts, warped_mask)
-    return warped_verts[idx], warped_normals[idx], live_mask
+    the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
+    Fused 1-NN + fetch (MXU one-hot): no element gathers at vertex scale."""
+    vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
+    _, out = knn.nn1_gather(live_verts, warped_verts, vals, warped_mask)
+    return out[:, :3], out[:, 3:], live_mask
 
 
 class DynFusion(KinFu):
@@ -143,8 +145,9 @@ class DynFusion(KinFu):
         dists, filtered = self._preprocess_nonrigid(depth_mm)
 
         if self.frame_counter == 0:
-            self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
-                                    self.tsdf_config)
+            # pose is identity for the whole parity pipeline -> separable MXU path
+            self.vol = tv.integrate_separable(self.vol, dists, self.poses[-1],
+                                              p.intr, self.tsdf_config)
             frame = self._mc_frame(0)
             self.canonical = frame
             self.canonical_warped = frame
@@ -160,8 +163,8 @@ class DynFusion(KinFu):
 
         # clear + re-integrate from live depth (dyn_fusion.cpp:107-116)
         self.vol = tv.clear(self.vol)
-        self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
-                                self.tsdf_config)
+        self.vol = tv.integrate_separable(self.vol, dists, self.poses[-1],
+                                          p.intr, self.tsdf_config)
         self.live = self._mc_frame(self.frame_counter)
 
         self._warp_canonical_to_live()
@@ -195,6 +198,17 @@ class DynFusion(KinFu):
         )
 
     # -- outputs ------------------------------------------------------------
+    def render(self, flag: int = 0):
+        """Offline render of the current live volume (replaces the
+        reference's OpenCV Viz window). Raycasts the fused TSDF from the
+        (identity) camera pose and Phong-shades it."""
+        p = self.params
+        pts, nrm = tv.raycast_separable(
+            self.vol, self.poses[-1], p.intr, (p.rows, p.cols), self.tsdf_config
+        )
+        self.prev_pyr = [(pts, nrm)]  # cache for KinFu.render flags
+        return super().render(flag)
+
     def get_canonical_warped_to_live(self) -> Frame:
         return self.canonical_warped
 

@@ -27,9 +27,11 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dynfu_tpu.core import se3
 from dynfu_tpu.engine.params import KinFuParams
+from dynfu_tpu.utils.jaxcache import enable_compilation_cache
 from dynfu_tpu.ops import imgproc
 from dynfu_tpu.rigid import icp
 from dynfu_tpu.volume import tsdf as tv
@@ -39,6 +41,7 @@ class KinFu:
     """Rigid fusion engine. Call with a (H, W) int32 mm depth image."""
 
     def __init__(self, params: Optional[KinFuParams] = None):
+        enable_compilation_cache()
         self.params = params or KinFuParams.default_params()
         p = self.params
         assert p.volume_dims[0] % 32 == 0  # kinfu.cpp:47
@@ -99,14 +102,23 @@ class KinFu:
         ]
         return dists, pyr
 
+    def _aligned(self, pose) -> bool:
+        """True when the camera rotation (and the volume pose rotation) is
+        identity, enabling the separable MXU integrate/raycast fast paths.
+        Poses are tiny concrete arrays, so this host check is free."""
+        return bool(np.allclose(np.asarray(pose[0]), np.eye(3), atol=1e-6))
+
+    def _integrate(self, dists, pose):
+        fn = tv.integrate_separable if self._aligned(pose) else tv.integrate
+        return fn(self.vol, dists, pose, self.params.intr, self.tsdf_config)
+
     def __call__(self, depth_mm) -> bool:
         p = self.params
         depth_mm = jnp.asarray(depth_mm, jnp.int32)
         dists, curr_pyr = self._preprocess(depth_mm)
 
         if self.frame_counter == 0:
-            self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
-                                    self.tsdf_config)
+            self.vol = self._integrate(dists, self.poses[-1])
             self.prev_pyr = curr_pyr
             self.frame_counter += 1
             return False
@@ -124,11 +136,11 @@ class KinFu:
 
         # always clear + reintegrate (reference kinfu.cpp:201-207)
         self.vol = tv.clear(self.vol)
-        self.vol = tv.integrate(self.vol, dists, self.poses[-1], p.intr,
-                                self.tsdf_config)
+        self.vol = self._integrate(dists, self.poses[-1])
 
         # raycast the fused model into the new reference pyramid
-        pts, nrm = tv.raycast(
+        rc = tv.raycast_separable if self._aligned(self.poses[-1]) else tv.raycast
+        pts, nrm = rc(
             self.vol, self.poses[-1], p.intr, (p.rows, p.cols), self.tsdf_config
         )
         prev = [(pts, nrm)]

@@ -1,14 +1,24 @@
-"""k-nearest-neighbor search, TPU-style.
+"""k-nearest-neighbor search and fused neighbor-state fetch, TPU-style.
 
 Replaces the reference's vendored nanoflann KD-tree (include/nanoflann/,
 used at warp_field.cpp:118, dyn_fusion.cpp:234, opt_solver.cpp:88). On TPU
-the idiomatic formulation is a dense distance computation — the Q x P inner
-product rides the MXU and the top-k rides the VPU — which is both exact and
-orders of magnitude faster than the reference's per-query CPU tree walks for
-the problem sizes involved (P = #nodes is a few thousand at most).
+the idiomatic formulation is a dense distance computation on the MXU plus
+vectorized selection on the VPU — exact, and orders of magnitude faster than
+per-query tree walks for the problem sizes involved.
 
-For large P a grid-hash variant (`knn_grid`) restricts candidates to the
-27-cell neighborhood, trading exactness guarantees for O(Q * 27 * cell_cap).
+Hardware notes that shape this file (measured on v5 lite):
+* element gathers (x[idx]) run ~1000x slower than matmul FLOPs, so neighbor
+  STATE is fetched by one-hot matmuls fused with the search (`knn_gather`,
+  `nn1_gather`), never by indexing;
+* K=3 contractions hit a pathological Mosaic compile path (minutes of
+  compile time at HIGHEST precision) — all point matmuls pad the coordinate
+  axis to a full 128 lane tile (`_PAD_K`), which also keeps the MXU fed;
+* `lax.top_k` is slow for small k; `_topk_argmin` extracts k minima by
+  iterated masked argmin (exact, ties to the lower index — the same rule as
+  lax.top_k and nanoflann's ordered results);
+* one-hot matmuls run on the fast bf16 MXU path: the one-hot factor is
+  exact in bf16, the value table is split hi/lo so the f32 result is exact
+  to roundoff (`_onehot_fetch`).
 """
 
 from __future__ import annotations
@@ -19,18 +29,40 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-
+_hi = jax.lax.Precision.HIGHEST
 _INF = jnp.float32(jnp.inf)
+_PAD_K = 128  # pad 3-d coordinates to one full lane tile
+
+
+def _pad_coords(x):
+    return jnp.pad(x, ((0, 0), (0, _PAD_K - x.shape[1])))
 
 
 def pairwise_sqdist(queries: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """Squared L2 distances (Q, P) = |q|^2 - 2 q.p + |p|^2 (MXU-friendly)."""
     qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Q, 1)
     pn = jnp.sum(points * points, axis=-1)  # (P,)
-    cross = _mm(queries, points.T)  # (Q, P) on the MXU
+    cross = jnp.matmul(
+        _pad_coords(queries), _pad_coords(points).T, precision=_hi
+    )  # (Q, P) on the MXU, K padded to a full tile
     d = qn - 2.0 * cross + pn[None, :]
     return jnp.maximum(d, 0.0)
+
+
+def _topk_argmin(d: jnp.ndarray, k: int):
+    """k smallest per row of d (Q, P): (values (Q,k), indices (Q,k)) sorted
+    ascending, ties to the lower index. Iterated masked argmin — exact, and
+    much faster than lax.top_k for small k on TPU."""
+    P = d.shape[-1]
+    iota = jnp.arange(P, dtype=jnp.int32)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(d, axis=-1)
+        v = jnp.min(d, axis=-1)
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        d = jnp.where(iota[None, :] == i[:, None], _INF, d)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
 def knn_brute(
@@ -42,15 +74,15 @@ def knn_brute(
     """Exact k-NN: returns (indices (Q,k), sqdists (Q,k)) sorted ascending.
 
     Semantics match nanoflann knnSearch (sorted by distance; ties broken by
-    lower index, which is also lax.top_k's tie rule). Masked-out points are
-    pushed to +inf so they are only returned when fewer than k valid points
-    exist — callers must gate on `sqdists < inf` in that case.
+    lower index). Masked-out points are pushed to +inf so they are only
+    returned when fewer than k valid points exist — callers must gate on
+    `sqdists < inf` in that case.
     """
     d = pairwise_sqdist(queries, points)
     if point_mask is not None:
         d = jnp.where(point_mask[None, :], d, _INF)
-    neg_vals, idx = jax.lax.top_k(-d, k)
-    return idx, -neg_vals
+    sqd, idx = _topk_argmin(d, k)
+    return idx, sqd
 
 
 def nn1(queries: jnp.ndarray, points: jnp.ndarray, point_mask=None):
@@ -59,7 +91,7 @@ def nn1(queries: jnp.ndarray, points: jnp.ndarray, point_mask=None):
     if point_mask is not None:
         d = jnp.where(point_mask[None, :], d, _INF)
     idx = jnp.argmin(d, axis=-1)
-    return idx, jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0]
+    return idx, jnp.min(d, axis=-1)
 
 
 def nn1_blocked(queries, points, point_mask=None, block: int = 4096):
@@ -68,6 +100,7 @@ def nn1_blocked(queries, points, point_mask=None, block: int = 4096):
     return idx[:, 0], sqd[:, 0]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block"))
 def knn_blocked(
     queries: jnp.ndarray,
     points: jnp.ndarray,
@@ -75,12 +108,7 @@ def knn_blocked(
     point_mask: jnp.ndarray | None = None,
     block: int = 8192,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact k-NN over query blocks to bound the (Q, P) buffer.
-
-    For Q ~ 1e5+ vertices the full distance matrix can dominate HBM; scanning
-    over query blocks keeps peak memory at (block, P) while staying on the
-    MXU. Output identical to knn_brute.
-    """
+    """Exact k-NN over query blocks to bound the (Q, P) buffer."""
     Q = queries.shape[0]
     pad = (-Q) % block
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
@@ -92,3 +120,97 @@ def knn_blocked(
 
     idx, sqd = jax.lax.map(one, qb)
     return idx.reshape(-1, k)[:Q], sqd.reshape(-1, k)[:Q]
+
+
+# ---------------------------------------------------------------------------
+# fused gather-free neighbor lookups
+# ---------------------------------------------------------------------------
+
+
+def _onehot_fetch(oh_f32: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """oh @ table with exact-in-bf16 one-hot and hi/lo-split table: result is
+    f32-exact on the fast bf16 MXU path (avoids slow HIGHEST small matmuls)."""
+    oh = oh_f32.astype(jnp.bfloat16)
+    hi = table.astype(jnp.bfloat16)
+    lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    out = jax.lax.dot_general(
+        oh, hi, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ) + jax.lax.dot_general(
+        oh, lo, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def knn_gather(
+    queries: jnp.ndarray,  # (Q, 3)
+    points: jnp.ndarray,  # (D, 3)
+    k: int,
+    table: jnp.ndarray,  # (D, F) features to fetch per neighbor
+    point_mask: jnp.ndarray | None = None,
+    block: int | None = None,
+):
+    """Fused k-NN + feature fetch: (idx (Q,k), sqdists (Q,k), feats (Q,k,F)).
+
+    Equivalent to ``idx, d = knn(...); feats = table[idx]`` but with the
+    fetch as one-hot matmuls built from the argmin output — exact, no
+    element gathers. Single-shot over Q (the (Q, D) distance matrix for the
+    node-capacity D of this engine is a few hundred MB at most).
+    """
+    Q = queries.shape[0]
+    D = points.shape[0]
+    d = pairwise_sqdist(queries, points)
+    if point_mask is not None:
+        d = jnp.where(point_mask[None, :], d, _INF)
+    sqd, idx = _topk_argmin(d, k)
+
+    iota = jnp.arange(D, dtype=jnp.int32)
+    feats = []
+    for r in range(k):
+        oh = (idx[:, r, None] == iota[None, :]).astype(jnp.float32)
+        feats.append(_onehot_fetch(oh, table))
+    return idx, sqd, jnp.stack(feats, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def nn1_gather(
+    queries: jnp.ndarray,  # (Q, 3)
+    points: jnp.ndarray,  # (P, 3)
+    values: jnp.ndarray,  # (P, F)
+    point_mask: jnp.ndarray | None = None,
+    block: int = 8192,
+):
+    """Fused 1-NN + value fetch for LARGE point sets: (idx (Q,), vals (Q,F)).
+
+    The fetch turns the argmin into an exact 0/1 one-hot (ties to the lower
+    index, nanoflann-style single pick) and contracts it with `values` on the
+    bf16 MXU path with a hi/lo-split table — f32-exact, no element gathers.
+
+    The distance matrix keeps only the argmin-relevant terms (|p|^2 - 2 q.p;
+    the per-row |q|^2 shifts every candidate equally) in f32 — bf16 would be
+    cheaper but catastrophically cancels: |p|^2 is meters^2-scale while
+    neighbor separations are millimeters.
+    """
+    Q = queries.shape[0]
+    P = points.shape[0]
+    pad = (-Q) % block
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    nblocks = qp.shape[0] // block
+    qb = qp.reshape(nblocks, block, 3)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    pn = jnp.sum(points * points, axis=-1)  # (P,)
+    pp = _pad_coords(points)
+
+    def one(qs):
+        cross = jnp.matmul(_pad_coords(qs), pp.T, precision=_hi)
+        d = pn[None, :] - 2.0 * cross
+        if point_mask is not None:
+            d = jnp.where(point_mask[None, :], d, _INF)
+        idx = jnp.argmin(d, axis=-1)
+        oh = (iota[None, :] == idx[:, None]).astype(jnp.float32)
+        vals = _onehot_fetch(oh, values)
+        return idx, vals
+
+    idx, vals = jax.lax.map(one, qb)
+    return idx.reshape(-1)[:Q], vals.reshape(-1, values.shape[1])[:Q]

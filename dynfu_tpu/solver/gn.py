@@ -36,6 +36,7 @@ from dynfu_tpu.core import dualquat as dq
 from dynfu_tpu.warp import field as wfield
 
 _hi = jax.lax.Precision.HIGHEST
+_mm = functools.partial(jnp.matmul, precision=_hi)
 
 
 class SolveStats(NamedTuple):
@@ -68,25 +69,55 @@ def huber_weights(wf: wfield.WarpField, reg_idx, psi_reg: float):
     return w[:, -1]  # last-neighbor overwrite, as upstream
 
 
-def _apply_data(t, data_idx, data_w):
-    """M(t)_v = sum_k w_vk t_{n_k} : (N, 3)."""
-    return jnp.sum(data_w[..., None] * t[data_idx], axis=-2)
+def _dense_data_normal(canonical_v, data_idx, data_w, s2, delta, D, chunk=8192):
+    """Assemble A_data = W^T diag(s2) W (D, D) and b = W^T (s2 * delta)
+    (D, 3) from the 8-sparse data-weight rows, gather/scatter-free.
+
+    Rationale: the TPU executes element scatters/gathers orders of magnitude
+    slower than matmuls, so instead of segment-sums over graph edges (the
+    reference's Opt hypergraph reduction), each chunk of vertices expands its
+    sparse weight row into a dense (chunk, D) strip via iota comparison (VPU)
+    and contracts it on the MXU. D is the node capacity (~1k), so A is a
+    small dense matrix that then feeds a cheap PCG.
+    """
+    N, K = data_idx.shape
+    pad = (-N) % chunk
+    idx_p = jnp.pad(data_idx, ((0, pad), (0, 0)))
+    w_p = jnp.pad(data_w, ((0, pad), (0, 0)))
+    s2_p = jnp.pad(s2, (0, pad))
+    d_p = jnp.pad(delta, ((0, pad), (0, 0)))
+    nchunks = idx_p.shape[0] // chunk
+    iota = jnp.arange(D, dtype=data_idx.dtype)
+
+    def body(c, carry):
+        A, b = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, 0)
+        idx_c, w_c, s2_c, d_c = sl(idx_p), sl(w_p), sl(s2_p), sl(d_p)
+        Wc = jnp.zeros((chunk, D), jnp.float32)
+        for r in range(K):
+            Wc = Wc + (idx_c[:, r, None] == iota[None, :]) * w_c[:, r, None]
+        sW = s2_c[:, None] * Wc
+        A = A + _mm(Wc.T, sW)
+        b = b + _mm(sW.T, d_c)
+        return A, b
+
+    A0 = jnp.zeros((D, D), jnp.float32)
+    b0 = jnp.zeros((D, 3), jnp.float32)
+    return jax.lax.fori_loop(0, nchunks, body, (A0, b0))
 
 
-def _apply_data_T(y, data_idx, data_w, D):
-    """M^T(y)_n = sum_{v,k: n_k = n} w_vk y_v : (D, 3)."""
-    contrib = data_w[..., None] * y[:, None, :]  # (N, K, 3)
-    return jnp.zeros((D, 3), y.dtype).at[data_idx].add(contrib)
-
-
-def _apply_reg_normal(t, reg_idx, reg_w2, edge_mask):
-    """(L^T L t) with L the (masked) edge incidence r_nj = t_j - t_n, scaled
-    by w_reg^2 (reg_w2)."""
-    D = t.shape[0]
-    e = (t[reg_idx] - t[:, None, :]) * edge_mask[..., None]  # (D, K, 3)
-    grad_j = jnp.zeros((D, 3), t.dtype).at[reg_idx].add(e)
-    grad_n = -jnp.sum(e, axis=1)
-    return reg_w2 * (grad_j + grad_n)
+def _dense_reg_normal(reg_idx, edge_mask, D):
+    """A_reg = M^T M with M the masked edge incidence rows
+    (onehot(j) - onehot(n)); self-edges vanish identically."""
+    K = reg_idx.shape[1]
+    iota = jnp.arange(D, dtype=reg_idx.dtype)
+    n_oh = (iota[:, None] == iota[None, :]).astype(jnp.float32)  # I_D
+    A = jnp.zeros((D, D), jnp.float32)
+    for r in range(K):
+        j_oh = (reg_idx[:, r, None] == iota[None, :]).astype(jnp.float32)
+        M = (j_oh - n_oh) * edge_mask[:, r, None]  # (D, D) rows
+        A = A + _mm(M.T, M)
+    return A
 
 
 def build_graphs(wf: wfield.WarpField, canonical_v, knn_k: int = wfield.KNN):
@@ -99,6 +130,13 @@ def build_graphs(wf: wfield.WarpField, canonical_v, knn_k: int = wfield.KNN):
     return data_idx, reg_idx
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tukey_offset", "psi_data", "lambda_reg", "psi_reg",
+        "linear_iter", "cg_tol", "knn_k",
+    ),
+)
 def solve(
     wf: wfield.WarpField,
     canonical_v,
@@ -125,19 +163,22 @@ def solve(
     if vert_mask is None:
         vert_mask = jnp.ones((N,), bool)
 
-    # --- graphs (CPU k-NN loops upstream; one MXU pass here) ---------------
-    data_idx, _ = wfield.find_neighbors(wf, canonical_v, knn_k)
+    # --- one fused k-NN + node-state pass over the vertices ----------------
+    # (the reference walks nanoflann twice and re-reads node structs per
+    # neighbor, opt_solver.cpp:56-72,204-231; here a single MXU pass yields
+    # the graph, the data weights AND the DQB for the robust weights)
+    data_idx, _, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
+        wf, canonical_v, knn_k
+    )
     reg_idx, _ = wfield.find_neighbors(wf, wf.pos, knn_k)
 
     # data weights at canonical vertices (energy.t:50-53)
-    n_pos = wf.pos[data_idx]
-    n_w = wf.w[data_idx]
-    n_valid = wf.mask[data_idx]
     data_w = wfield.transformation_weights(n_pos, n_w, canonical_v[:, None, :])
     data_w = jnp.where(n_valid, data_w, 0.0)
 
     # robust data weights from the CURRENT warp state (once; earlyOut flow)
-    warped, _ = wfield.warp_points_normals(wf, canonical_v, canonical_v)
+    blend = wfield._dqb_from_features(canonical_v, n_pos, n_dq, n_w, n_valid)
+    warped = dq.dq_transform_point(blend, canonical_v)
     s2 = tukey_biweights(warped, live_v, tukey_offset, psi_data)  # tukey
     s2 = jnp.where(vert_mask, s2, 0.0)
 
@@ -151,23 +192,16 @@ def solve(
 
     delta = live_v - canonical_v  # energy data constant
 
-    def A_op(t):
-        """Normal-equations operator J^T J t (tukey enters as s^2)."""
-        mt = _apply_data(t, data_idx, data_w)  # (N, 3)
-        at = _apply_data_T(s2[:, None] * mt, data_idx, data_w, D)
-        return at + _apply_reg_normal(t, reg_idx, reg_w2, edge_mask)
+    # dense normal equations (see _dense_data_normal for the TPU rationale)
+    A_data, b = _dense_data_normal(canonical_v, data_idx, data_w, s2, delta, D)
+    A = A_data + reg_w2 * _dense_reg_normal(reg_idx, edge_mask, D)
 
-    b = _apply_data_T(s2[:, None] * delta, data_idx, data_w, D)
+    def A_op(t):
+        """Normal-equations operator J^T J t — one small dense matmul."""
+        return _mm(A, t)
 
     # Jacobi preconditioner: diag(J^T J)
-    diag_data = jnp.zeros((D,), jnp.float32).at[data_idx].add(
-        s2[:, None] * data_w * data_w
-    )
-    self_edge = reg_idx == jnp.arange(D)[:, None]
-    eff_edge = edge_mask * (1.0 - self_edge.astype(jnp.float32))
-    in_deg = jnp.zeros((D,), jnp.float32).at[reg_idx].add(eff_edge)
-    out_deg = jnp.sum(eff_edge, axis=1)
-    diag = diag_data + reg_w2 * (in_deg + out_deg)
+    diag = jnp.diagonal(A)
     inv_diag = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
 
     # --- Jacobi-PCG on the normal equations (Opt's GN inner loop) ----------
@@ -199,11 +233,12 @@ def solve(
 
     t, r, _, _, rz, iters = jax.lax.while_loop(cond, body, (t0, r0, z0, p0, rz0, 0))
 
-    # costs for reporting (reportFinalCosts analog)
+    # costs for reporting (reportFinalCosts analog): since the energy is
+    # quadratic, cost(t) = c0 - 2 t.b + t.A t with c0 = sum s2 |delta|^2
+    c0 = jnp.sum(s2[:, None] * delta * delta)
+
     def cost(tt):
-        rd = jnp.sqrt(s2)[:, None] * (delta - _apply_data(tt, data_idx, data_w))
-        e = (tt[reg_idx] - tt[:, None, :]) * edge_mask[..., None]
-        return jnp.sum(rd * rd) + reg_w2 * jnp.sum(e * e)
+        return c0 - 2.0 * jnp.vdot(tt, b) + jnp.vdot(tt, _mm(A, tt))
 
     stats = SolveStats(cost(t0), cost(t), iters)
 

@@ -6,7 +6,9 @@ from dynfu_tpu.volume.tsdf import (  # noqa: F401
     extract_cloud,
     extract_normals,
     integrate,
+    integrate_separable,
     interpolate,
     raycast,
     raycast_depth,
+    raycast_separable,
 )

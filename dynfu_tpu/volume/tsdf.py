@@ -44,7 +44,8 @@ from dynfu_tpu.core.camera import Intr
 from dynfu_tpu.core import se3
 
 # geometry matmuls must be exact f32 (TPU MXU defaults to bf16 inputs)
-_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_hi = jax.lax.Precision.HIGHEST
+_mm = functools.partial(jnp.matmul, precision=_hi)
 
 _QNAN = jnp.float32(jnp.nan)
 
@@ -180,6 +181,91 @@ def integrate(
         tsdf_out = jnp.where(update, tsdf_new, tsdf_prev).astype(jnp.float16)
         w_out = jnp.where(update, w_new, w_prev).astype(jnp.uint8)
 
+        tsdf_a = jax.lax.dynamic_update_slice_in_dim(tsdf_a, tsdf_out, z0, 2)
+        weight_a = jax.lax.dynamic_update_slice_in_dim(weight_a, w_out, z0, 2)
+        return tsdf_a, weight_a
+
+    tsdf_a, weight_a = jax.lax.fori_loop(0, n_chunks, body, (vol.tsdf, vol.weight))
+    return vol._replace(tsdf=tsdf_a, weight=weight_a)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "intr"), donate_argnums=(0,))
+def integrate_separable(
+    vol: TsdfVolume,
+    dists: jnp.ndarray,  # (H, W) float16 meters
+    camera_pose: tuple,  # (R, t) — ROTATION MUST BE AXIS-ALIGNED IDENTITY
+    intr: Intr,
+    config: TsdfConfig,
+) -> TsdfVolume:
+    """MXU fast path of `integrate` for axis-aligned poses.
+
+    Requires rotation(inv(camera_pose) ∘ volume_pose) == I — true for the
+    entire non-rigid pipeline (pose is pinned to identity, dyn_fusion.cpp:
+    102-105) and for any static-camera rigid run. Callers must check; the
+    engines do.
+
+    Why this exists: the projective lookup Dp = dists[v(y,z), u(x,z)] is an
+    element gather, and TPU element gathers measure ~1000x slower than
+    matmul FLOPs (v5e). With identity rotation the per-slab pixel map is
+    SEPARABLE — u depends only on (x, z) and v only on (y, z) — so the
+    point-sampled image warp factorizes into two small matmuls per z-slab
+    with one-hot interpolation matrices built from iota comparisons:
+        Dp[x, y; z] = sum_h sum_w Pu[x, w; z] * dists[h, w] * Pv[y, h; z].
+    The update rule is bit-identical to the gather path (same floor
+    sampling, same guards — out-of-image rows are all-zero, which yields
+    Dp = 0, the same 'skip' the reference takes for Dp == 0).
+    """
+    X, Y, Z = config.dims
+    vsx, vsy, vsz = config.voxel_size
+    H, W = dists.shape
+    trunc_inv = 1.0 / config.trunc_dist
+
+    vol2cam = se3.compose(se3.inverse(camera_pose), (vol.pose_r, vol.pose_t))
+    _, t = vol2cam  # rotation is identity by contract
+
+    vcx = jnp.arange(X, dtype=jnp.float32) * vsx + t[0]  # (X,)
+    vcy = jnp.arange(Y, dtype=jnp.float32) * vsy + t[1]  # (Y,)
+    dists_f = dists.astype(jnp.float32)
+
+    C = min(config.z_chunk, Z)
+    n_chunks = (Z + C - 1) // C
+    iw = jnp.arange(W, dtype=jnp.int32)
+    ih = jnp.arange(H, dtype=jnp.int32)
+
+    norm_xy2 = vcx[:, None] ** 2 + vcy[None, :] ** 2  # (X, Y)
+
+    def body(ci, carry):
+        tsdf_a, weight_a = carry
+        z0 = ci * C
+        zf = (z0 + jnp.arange(C)).astype(jnp.float32)
+        vcz = zf * vsz + t[2]  # (C,)
+        safe_z = jnp.where(vcz == 0, 1.0, vcz)
+
+        u = intr.fx * vcx[None, :] / safe_z[:, None] + intr.cx  # (C, X)
+        v = intr.fy * vcy[None, :] / safe_z[:, None] + intr.cy  # (C, Y)
+        valid_u = (u >= 0) & (u < W) & (vcz[:, None] > 0)
+        valid_v = (v >= 0) & (v < H)
+        ui = jnp.floor(u).astype(jnp.int32)
+        vi = jnp.floor(v).astype(jnp.int32)
+
+        Pu = ((ui[..., None] == iw) & valid_u[..., None]).astype(jnp.float32)
+        Pv = ((vi[..., None] == ih) & valid_v[..., None]).astype(jnp.float32)
+        # (C,X,W) x (H,W) -> (C,X,H) ; x (C,Y,H) -> (X,Y,C)
+        T1 = jnp.einsum("cxw,hw->cxh", Pu, dists_f, precision=_hi)
+        Dp = jnp.einsum("cxh,cyh->xyc", T1, Pv, precision=_hi)
+
+        vcz_b = vcz[None, None, :]
+        norm_vc = jnp.sqrt(norm_xy2[:, :, None] + vcz_b * vcz_b)
+        sdf = Dp - norm_vc
+        update = (Dp != 0) & (vcz_b > 0) & (sdf >= -config.trunc_dist)
+
+        tsdf_prev = jax.lax.dynamic_slice_in_dim(tsdf_a, z0, C, 2).astype(jnp.float32)
+        w_prev = jax.lax.dynamic_slice_in_dim(weight_a, z0, C, 2).astype(jnp.float32)
+        tsdf_in = jnp.minimum(1.0, sdf * trunc_inv)
+        tsdf_new = (tsdf_prev * w_prev + tsdf_in) / (w_prev + 1.0)
+        w_new = jnp.minimum(w_prev + 1.0, float(config.max_weight))
+        tsdf_out = jnp.where(update, tsdf_new, tsdf_prev).astype(jnp.float16)
+        w_out = jnp.where(update, w_new, w_prev).astype(jnp.uint8)
         tsdf_a = jax.lax.dynamic_update_slice_in_dim(tsdf_a, tsdf_out, z0, 2)
         weight_a = jax.lax.dynamic_update_slice_in_dim(weight_a, w_out, z0, 2)
         return tsdf_a, weight_a
@@ -436,6 +522,145 @@ def raycast(
     n_cam = _mm(normal, Rinv.T)
     points = jnp.where(ok[..., None], v_cam, _QNAN)
     normals = jnp.where(ok[..., None], n_cam, _QNAN)
+    return points, normals
+
+
+@functools.partial(jax.jit, static_argnames=("config", "intr", "shape"))
+def raycast_separable(
+    vol: TsdfVolume,
+    camera_pose: tuple,  # (R, t) — ROTATION MUST BE AXIS-ALIGNED IDENTITY
+    intr: Intr,
+    shape: Tuple[int, int],
+    config: TsdfConfig,
+):
+    """MXU fast path of `raycast` for axis-aligned poses.
+
+    Requires rotation(inv(volume_pose) ∘ camera_pose) == I (the non-rigid
+    pipeline's permanent state; callers must check — the engines do).
+
+    Parameterizing rays by volume z (pos = o + q * (z - o_z) with
+    q = ((u-cx)/fx, (v-cy)/fy, 1)) makes the per-slab sample positions
+    SEPARABLE: x depends only on (u, z), y only on (v, z). Each z-slab is
+    then resampled into the image by two bilinear-matrix matmuls, and the
+    in-plane TSDF gradient reuses the same factor matrices with derivative
+    weights — the whole raycast is matmul + elementwise, no gathers.
+    Crossing detection and z-linear refinement match the sweep path.
+    """
+    H, W = shape
+    X, Y, Z = config.dims
+    vsx, vsy, vsz = config.voxel_size
+
+    cam2vol = se3.compose(se3.inverse((vol.pose_r, vol.pose_t)), camera_pose)
+    _, t = cam2vol  # rotation is identity by contract
+    qx = (jnp.arange(W, dtype=jnp.float32) - intr.cx) / intr.fx  # (W,)
+    qy = (jnp.arange(H, dtype=jnp.float32) - intr.cy) / intr.fy  # (H,)
+
+    time_step = config.trunc_dist * config.raycast_step_factor
+    m = max(1, int(round(time_step / vsz)))
+    S = (Z - 1) // m + 1
+    CH = 8
+    n_chunks = (S + CH - 1) // CH
+    S_pad = n_chunks * CH
+
+    slabs = jnp.transpose(vol.tsdf[:, :, ::m], (2, 1, 0)).astype(jnp.float32)
+    pad = S_pad + 1 - slabs.shape[0]
+    slabs = jnp.pad(slabs, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+
+    ix = jnp.arange(X, dtype=jnp.int32)
+    iy = jnp.arange(Y, dtype=jnp.int32)
+
+    def factor_matrices(g):
+        """Bilinear + derivative matrices for slab g: Bu (W, X), Bv (H, Y)."""
+        z = (g * m) * vsz
+        dzo = z - t[2]
+        px = (t[0] + qx * dzo) / vsx  # (W,)
+        py = (t[1] + qy * dzo) / vsy  # (H,)
+        valid_u = (dzo > 0) & (px >= 0) & (px <= X - 1)
+        valid_v = (py >= 0) & (py <= Y - 1)
+        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, X - 2)
+        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Y - 2)
+        a = jnp.clip(px - x0, 0.0, 1.0)
+        b = jnp.clip(py - y0, 0.0, 1.0)
+        e0u = (x0[:, None] == ix).astype(jnp.float32)
+        e1u = (x0[:, None] + 1 == ix).astype(jnp.float32)
+        e0v = (y0[:, None] == iy).astype(jnp.float32)
+        e1v = (y0[:, None] + 1 == iy).astype(jnp.float32)
+        Bu = e0u * (1 - a)[:, None] + e1u * a[:, None]
+        Bv = e0v * (1 - b)[:, None] + e1v * b[:, None]
+        Gu = (e1u - e0u) / vsx  # d/dx weights
+        Gv = (e1v - e0v) / vsy
+        return Bu, Bv, Gu, Gv, valid_u, valid_v
+
+    def slab_sample(g, slab):
+        """f, gx, gy, valid for slab g over the full image — 4 matmuls."""
+        Bu, Bv, Gu, Gv, valid_u, valid_v = factor_matrices(g)
+        T1 = _mm(slab, Bu.T)  # (Y, X)@(X, W) -> (Y, W)
+        T1g = _mm(slab, Gu.T)  # (Y, W)
+        f = _mm(Bv, T1)  # (H, Y)@(Y, W) -> (H, W)
+        gx = _mm(Bv, T1g)
+        gy = _mm(Gv, T1)
+        valid = valid_v[:, None] & valid_u[None, :]
+        return jnp.where(valid, f, 1.0), gx, gy, valid
+
+    zero = jnp.zeros((H, W), jnp.float32)
+    carry0 = dict(
+        f_prev=jnp.full((H, W), 1.0, jnp.float32),
+        gx_prev=zero, gy_prev=zero,
+        valid_prev=jnp.zeros((H, W), bool),
+        found=jnp.zeros((H, W), bool),
+        hit=jnp.zeros((H, W), bool),
+        k_hit=jnp.zeros((H, W), jnp.int32),
+        frac=zero, f_a=zero, f_b=zero,
+        gx_a=zero, gy_a=zero, gx_b=zero, gy_b=zero,
+    )
+
+    def chunk_body(c, carry):
+        block = jax.lax.dynamic_slice_in_dim(slabs, c * CH, CH, 0)
+        for j in range(CH):
+            g = c * CH + j
+            f, gx, gy, valid = slab_sample(g, block[j])
+            both = carry["valid_prev"] & valid
+            crossing = both & (carry["f_prev"] > 0.0) & (f < 0.0)
+            backface = both & (carry["f_prev"] < 0.0) & (f > 0.0)
+            take = ~carry["found"] & crossing
+            stop = crossing | backface
+            fr = carry["f_prev"] / (carry["f_prev"] - f + 1e-30)
+            carry = dict(
+                f_prev=f, gx_prev=gx, gy_prev=gy, valid_prev=valid,
+                found=carry["found"] | stop,
+                hit=jnp.where(take, True, carry["hit"]),
+                k_hit=jnp.where(take, g - 1, carry["k_hit"]),
+                frac=jnp.where(take, fr, carry["frac"]),
+                f_a=jnp.where(take, carry["f_prev"], carry["f_a"]),
+                f_b=jnp.where(take, f, carry["f_b"]),
+                gx_a=jnp.where(take, carry["gx_prev"], carry["gx_a"]),
+                gy_a=jnp.where(take, carry["gy_prev"], carry["gy_a"]),
+                gx_b=jnp.where(take, gx, carry["gx_b"]),
+                gy_b=jnp.where(take, gy, carry["gy_b"]),
+            )
+        return carry
+
+    s = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+
+    hit = s["hit"]
+    z_star = (s["k_hit"].astype(jnp.float32) + s["frac"]) * (m * vsz)
+    dzo = z_star - t[2]
+    vx = t[0] + qx[None, :] * dzo
+    vy = t[1] + qy[:, None] * dzo
+    vertex = jnp.stack([vx, vy, jnp.broadcast_to(z_star, (H, W))], axis=-1)
+
+    fr = s["frac"]
+    gx = s["gx_a"] * (1 - fr) + s["gx_b"] * fr
+    gy = s["gy_a"] * (1 - fr) + s["gy_b"] * fr
+    gz = (s["f_b"] - s["f_a"]) / (m * vsz)
+    normal = jnp.stack([gx, gy, gz], axis=-1)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(nn > 0, nn, 1.0)
+
+    ok = hit & (nn[..., 0] > 0) & ~jnp.isnan(jnp.sum(normal, axis=-1))
+    v_cam = vertex - t  # cam2vol = (I, t)
+    points = jnp.where(ok[..., None], v_cam, _QNAN)
+    normals = jnp.where(ok[..., None], normal, _QNAN)
     return points, normals
 
 

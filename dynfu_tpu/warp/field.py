@@ -23,6 +23,7 @@ Semantics replicated exactly (the solver parity tests depend on them):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -78,9 +79,48 @@ def transformation_weights(node_pos, node_w, points):
     return jnp.exp(-d2 / (2.0 * node_w * node_w))
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
 def find_neighbors(wf: WarpField, points, k: int = KNN):
     """k-NN node indices (Q, k) + sqdists, nearest first (replaces nanoflann)."""
     return knn.knn_brute(points, wf.pos, k, wf.mask)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def neighbor_features(wf: WarpField, points, k: int = KNN):
+    """Fused k-NN + node-state fetch, entirely gather-free (MXU one-hot).
+
+    Returns (idx (Q,k), sqd (Q,k), n_pos (Q,k,3), n_dq (Q,k,8), n_w (Q,k),
+    n_valid (Q,k)). This replaces the nanoflann query + per-neighbor struct
+    reads of the reference (warp_field.cpp:99-122) — element gathers are the
+    one operation this TPU does slowly, so the fetch rides the MXU instead.
+    """
+    points = jnp.asarray(points, jnp.float32)
+    table = jnp.concatenate(
+        [wf.pos, wf.dqs, wf.w[:, None], wf.mask[:, None].astype(jnp.float32)],
+        axis=1,
+    )  # (D, 13)
+    idx, sqd, feats = knn.knn_gather(points, wf.pos, k, table, wf.mask)
+    return (
+        idx,
+        sqd,
+        feats[..., 0:3],
+        feats[..., 3:11],
+        feats[..., 11],
+        feats[..., 12] > 0.5,
+    )
+
+
+def _dqb_from_features(points, n_pos, n_dq, n_w, n_valid) -> jnp.ndarray:
+    """DQB given prefetched neighbor state (nearest-first order)."""
+    k = n_w.shape[-1]
+    weights = transformation_weights(n_pos, n_w, points[..., None, :])  # (Q, k)
+    scaled = dq.dq_scale(n_dq, weights)
+    # invalid slots multiply by identity (nanoflann would return n<k results)
+    scaled = jnp.where(n_valid[..., None], scaled, dq.dq_identity())
+    acc = jnp.broadcast_to(dq.dq_identity(), points.shape[:-1] + (8,))
+    for i in range(k):  # k == 8, unrolled; each step is a batched quat product
+        acc = dq.dq_mul(acc, scaled[..., i, :])
+    return dq.dq_normalize(acc)
 
 
 def calc_dqb(wf: WarpField, points, neighbor_idx=None) -> jnp.ndarray:
@@ -91,29 +131,18 @@ def calc_dqb(wf: WarpField, points, neighbor_idx=None) -> jnp.ndarray:
     nearest-first order, then normalize the real part.
     """
     points = jnp.asarray(points, jnp.float32)
-    if neighbor_idx is None:
-        neighbor_idx, _ = find_neighbors(wf, points)
-    k = neighbor_idx.shape[-1]
-
-    n_pos = wf.pos[neighbor_idx]  # (Q, k, 3)
-    n_dq = wf.dqs[neighbor_idx]  # (Q, k, 8)
-    n_w = wf.w[neighbor_idx]  # (Q, k)
-    n_valid = wf.mask[neighbor_idx]  # (Q, k) — false only when count < k
-
-    weights = transformation_weights(n_pos, n_w, points[..., None, :])  # (Q, k)
-    scaled = dq.dq_scale(n_dq, weights)
-    # invalid slots multiply by identity (nanoflann would return n<k results)
-    scaled = jnp.where(n_valid[..., None], scaled, dq.dq_identity())
-
-    def step(acc, i):
-        return dq.dq_mul(acc, scaled[..., i, :]), None
-
-    acc = jnp.broadcast_to(dq.dq_identity(), points.shape[:-1] + (8,))
-    for i in range(k):  # k == 8, unrolled; each step is a batched quat product
-        acc = dq.dq_mul(acc, scaled[..., i, :])
-    return dq.dq_normalize(acc)
+    if neighbor_idx is not None:
+        # explicit-graph variant (small Q): direct indexed fetch
+        n_pos = wf.pos[neighbor_idx]
+        n_dq = wf.dqs[neighbor_idx]
+        n_w = wf.w[neighbor_idx]
+        n_valid = wf.mask[neighbor_idx]
+    else:
+        _, _, n_pos, n_dq, n_w, n_valid = neighbor_features(wf, points)
+    return _dqb_from_features(points, n_pos, n_dq, n_w, n_valid)
 
 
+@jax.jit
 def warp_points_normals(wf: WarpField, points, normals) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """warpToLive: per-point DQB then transform (warp_field.cpp:150-171).
 
@@ -125,11 +154,10 @@ def warp_points_normals(wf: WarpField, points, normals) -> Tuple[jnp.ndarray, jn
     return dq.dq_transform_point(blend, points), dq.dq_transform_normal(blend, normals)
 
 
+@jax.jit
 def unsupported_mask(wf: WarpField, points, point_mask=None) -> jnp.ndarray:
     """True where min over 8-NN of dist/dg_w >= 1 (warp_field.cpp:34-61)."""
-    idx, sqd = find_neighbors(wf, points)
-    n_w = wf.w[idx]
-    valid = wf.mask[idx]
+    _, sqd, _, _, n_w, valid = neighbor_features(wf, points)
     ratio = jnp.sqrt(sqd) / n_w
     ratio = jnp.where(valid, ratio, jnp.inf)
     unsupported = jnp.min(ratio, axis=-1) >= 1.0
@@ -208,6 +236,7 @@ def insert_nodes(
     return WarpField(pos, dqs, w, mask, count)
 
 
+@functools.partial(jax.jit, static_argnames=("epsilon", "leaf", "max_new"))
 def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: float = 0.05,
                      max_new: int = 1024) -> WarpField:
     """Warpfield::update (warp_field.cpp:63-95): find unsupported vertices,
@@ -217,6 +246,7 @@ def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: floa
     return insert_nodes(wf, cand, cand_mask, 2.0 * epsilon)
 
 
+@jax.jit
 def compose_translations(wf: WarpField, translations) -> WarpField:
     """Apply solver output: dg_se3 <- DQ(t) * dg_se3 for each node.
 

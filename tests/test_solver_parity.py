@@ -185,4 +185,4 @@ def test_solve_with_padded_capacity():
                                           np.asarray(SRC5B, np.float32)))
     vb = np.asarray(dq.dq_transform_point(wfield.calc_dqb(b, np.asarray(SRC5B, np.float32)),
                                           np.asarray(SRC5B, np.float32)))
-    np.testing.assert_allclose(va, vb, atol=1e-6)
+    np.testing.assert_allclose(va, vb, atol=1e-5)
