@@ -3,15 +3,16 @@
 A from-scratch re-design of the capabilities of swarth100/dynfu (C++/CUDA/Opt)
 for TPU hardware:
 
-* depth frontend (dists / bilateral / pyramid / point+normal maps)   -> ops.frontend
-* TSDF volume (integrate / raycast / extract)                        -> ops.tsdf, ops.raycast
-* marching cubes                                                     -> ops.marching_cubes
-* projective point-to-plane ICP                                      -> solver.icp
+* depth frontend (dists / bilateral / pyramid / point+normal maps)   -> ops.imgproc
+* TSDF volume (integrate / raycast / extract)                        -> volume.tsdf
+* marching cubes                                                     -> mesh.mc
+* projective point-to-plane ICP                                      -> rigid.icp
 * warp field (deformation nodes, dual-quaternion blending)           -> warp.field, core.dualquat
 * k-NN node lookup (replaces nanoflann KD-tree)                      -> ops.knn
 * Gauss-Newton non-rigid solver (replaces the Opt/Terra DSL)         -> solver.gn
 * rigid + non-rigid engines                                          -> engine.kinfu, engine.dynfusion
-* multi-chip sharding (block-partitioned TSDF, psum-reduced GN)      -> dist.sharding
+* multi-chip sharding (block-partitioned TSDF, psum-reduced GN)      -> dist.spmd
+* dataset IO / exports / CLI                                         -> io
 
 Parity target: the reference's test suites (test/quaternion_test.cpp,
 test/opt_optimisation_test.cpp) at their tolerances, and its demo pipeline

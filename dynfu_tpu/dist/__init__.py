@@ -1,0 +1,5 @@
+from dynfu_tpu.dist.spmd import (  # noqa: F401
+    make_mesh,
+    shard_volume,
+    sharded_fusion_step,
+)

@@ -1,0 +1,81 @@
+"""Dataset application driver — the `dynfu run` loop.
+
+Analog of DynFuApp (src/apps/demo.cpp): loads sorted depth PNGs, drives the
+DynFusion engine frame by frame under the fps sampler, and writes per-frame
+artifacts into <dataset>/out:
+  * pcl_canonical_to_live<i>.pcd — warped canonical cloud (demo.cpp:21-31)
+  * <i>_tsdf_mesh.vtk / .ply     — live TSDF mesh (demo.cpp:33-37)
+  * render<i>.png                — offline Phong render when --export-viz is
+    set (replaces the reference's interactive OpenCV Viz window, which it
+    refuses to open over SSH anyway, demo.cpp:179-185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from dynfu_tpu.engine.dynfusion import DynFusion
+from dynfu_tpu.engine.params import DynFuParams
+from dynfu_tpu.io import meshio
+from dynfu_tpu.utils.timers import SampledScopeTime, sync
+
+
+def run_dataset(
+    dataset: str,
+    out_dir: Optional[str] = None,
+    max_frames: int = 0,
+    volume_dims: int = 128,
+    export_viz: bool = False,
+    params: Optional[DynFuParams] = None,
+    save_every: int = 1,
+) -> int:
+    depths, _ = meshio.list_dataset(dataset)
+    if max_frames:
+        depths = depths[:max_frames]
+    if not depths:
+        print(f"no depth frames found under {dataset}/depth")
+        return 1
+
+    out_dir = out_dir or os.path.join(dataset, "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    if params is None:
+        params = DynFuParams.default_params()
+        first = meshio.load_depth_png(depths[0])
+        h, w = first.shape
+        kf = dataclasses.replace(
+            params.kinfu,
+            rows=h,
+            cols=w,
+            volume_dims=(volume_dims, volume_dims, volume_dims),
+        )
+        params = dataclasses.replace(params, kinfu=kf)
+
+    engine = DynFusion(params)
+    sampler = SampledScopeTime()
+
+    for i, path in enumerate(depths):
+        depth = meshio.load_depth_png(path)
+        with sampler:
+            has_surface = engine(depth)
+            wv, wm = engine.warped_cloud()
+            sync(wv)
+        print(f"frame {i}: {'ok' if has_surface else 'bootstrap'}")
+
+        if i % save_every == 0:
+            cloud = np.asarray(wv)[np.asarray(wm)]
+            meshio.save_pcd(
+                os.path.join(out_dir, f"pcl_canonical_to_live{i}.pcd"), cloud
+            )
+            verts, n = engine.mesh()
+            soup = np.asarray(verts)[: int(n)]
+            meshio.save_vtk(os.path.join(out_dir, f"{i}_tsdf_mesh.vtk"), soup)
+            meshio.save_ply(os.path.join(out_dir, f"{i}_tsdf_mesh.ply"), soup)
+            if export_viz:
+                img = np.asarray(engine.render(0))
+                meshio.save_image_png(os.path.join(out_dir, f"render{i}.png"), img)
+    return 0

@@ -24,8 +24,16 @@ def main(argv=None) -> int:
     run.add_argument("--out", default=None, help="output dir (default <dataset>/out)")
 
     bench = sub.add_parser("bench", help="run the synthetic benchmark")
-    bench.add_argument("--volume-dims", type=int, default=512)
-    bench.add_argument("--frames", type=int, default=20)
+    bench.add_argument("--volume-dims", type=int, default=128)
+    bench.add_argument("--frames", type=int, default=12)
+
+    synth = sub.add_parser(
+        "synth", help="generate a synthetic deforming depth sequence"
+    )
+    synth.add_argument("out_dir")
+    synth.add_argument("--frames", type=int, default=30)
+    synth.add_argument("--rows", type=int, default=480)
+    synth.add_argument("--cols", type=int, default=640)
 
     args = parser.parse_args(argv)
 
@@ -40,10 +48,19 @@ def main(argv=None) -> int:
             export_viz=args.export_viz,
         )
     if args.cmd == "bench":
+        from dynfu_tpu.utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
         from dynfu_tpu.utils.benchmarks import run_benchmark
 
         result = run_benchmark(volume_dims=args.volume_dims, frames=args.frames)
         print(result)
+        return 0
+    if args.cmd == "synth":
+        from dynfu_tpu.io.datasets import generate_synthetic
+
+        generate_synthetic(args.out_dir, frames=args.frames, h=args.rows, w=args.cols)
+        print(f"wrote {args.frames} frames to {args.out_dir}/depth")
         return 0
     return 2
 

@@ -1,0 +1,82 @@
+"""Benchmark harness: end-to-end non-rigid fusion frames/s.
+
+Workload = the reference's own non-rigid configuration (SURVEY §6): 640x480
+depth stream at fx=fy=525, 128-cube TSDF over 3 m (the dims the reference
+hardcodes for marching cubes, dyn_fusion.cpp:10), full DynamicFusion loop —
+preprocess, clear+integrate, marching cubes, warp, correspondence, GN solve,
+node insertion — on a synthetically deforming sphere.
+
+vs_baseline is measured against the 30 fps/chip target from BASELINE.md
+(the reference publishes no numbers of its own; SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from dynfu_tpu.core.camera import Intr
+from dynfu_tpu.engine.dynfusion import DynFusion
+from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+from dynfu_tpu.io.datasets import sphere_depth
+from dynfu_tpu.utils.timers import sync
+
+TARGET_FPS = 30.0  # BASELINE.md north-star target
+
+
+def run_benchmark(
+    volume_dims: int = 128,
+    frames: int = 12,
+    warmup: int = 3,
+    rows: int = 480,
+    cols: int = 640,
+    max_nodes: int = 1024,
+    max_vertices: int = 1 << 17,
+) -> dict:
+    intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(
+            rows=rows, cols=cols, intr=intr,
+            volume_dims=(volume_dims,) * 3,
+        ),
+        max_nodes=max_nodes, max_vertices=max_vertices,
+        max_mc_voxels=1 << 16, max_new_nodes=512,
+    )
+    engine = DynFusion(params)
+    cx, cy = cols / 2 - 0.5, rows / 2 - 0.5
+
+    def frame(i):
+        dx = 0.004 * i
+        return sphere_depth((dx, 0.0, 1.5), 0.5, rows, cols, 525.0, 525.0, cx, cy)
+
+    for i in range(warmup):
+        engine(frame(i))
+        wv, _ = engine.warped_cloud()
+        sync(wv)
+
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + frames):
+        engine(frame(i))
+        wv, _ = engine.warped_cloud()
+        sync(wv)
+    dt = (time.perf_counter() - t0) / frames
+    fps = 1.0 / dt
+
+    # tracking quality on the last frame
+    wv, wm = engine.warped_cloud()
+    v = np.asarray(wv)[np.asarray(wm)]
+    center = np.asarray((0.004 * (warmup + frames - 1), 0.0, 1.5)) - np.asarray(
+        (-1.5, -1.5, 0.5)
+    )
+    err_mm = float(np.median(np.abs(np.linalg.norm(v - center, axis=-1) - 0.5))) * 1e3
+
+    return {
+        "metric": f"nonrigid_fusion_fps_{volume_dims}cube",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TARGET_FPS, 4),
+        "frame_ms": round(dt * 1e3, 1),
+        "median_vertex_err_mm": round(err_mm, 3),
+    }
