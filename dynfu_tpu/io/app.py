@@ -21,6 +21,7 @@ import numpy as np
 from dynfu_tpu.engine.dynfusion import DynFusion
 from dynfu_tpu.engine.params import DynFuParams
 from dynfu_tpu.io import meshio
+from dynfu_tpu.io.native_loader import DepthLoader
 from dynfu_tpu.utils.timers import SampledScopeTime, sync
 
 
@@ -32,6 +33,8 @@ def run_dataset(
     export_viz: bool = False,
     params: Optional[DynFuParams] = None,
     save_every: int = 1,
+    checkpoint_every: int = 0,
+    resume: Optional[str] = None,
 ) -> int:
     depths, _ = meshio.list_dataset(dataset)
     if max_frames:
@@ -56,10 +59,18 @@ def run_dataset(
         params = dataclasses.replace(params, kinfu=kf)
 
     engine = DynFusion(params)
-    sampler = SampledScopeTime()
+    start = 0
+    if resume:
+        from dynfu_tpu.utils.checkpoint import load_checkpoint
 
-    for i, path in enumerate(depths):
-        depth = meshio.load_depth_png(path)
+        load_checkpoint(engine, resume)
+        start = engine.frame_counter
+        print(f"resumed from {resume} at frame {start}")
+    sampler = SampledScopeTime()
+    loader = DepthLoader(depths)  # native threaded decode when available
+
+    for i in range(start, len(loader)):
+        depth = loader[i]
         with sampler:
             has_surface = engine(depth)
             wv, wm = engine.warped_cloud()
@@ -78,4 +89,8 @@ def run_dataset(
             if export_viz:
                 img = np.asarray(engine.render(0))
                 meshio.save_image_png(os.path.join(out_dir, f"render{i}.png"), img)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            from dynfu_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(engine, os.path.join(out_dir, "checkpoint.npz"))
     return 0

@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     run.add_argument("--frames", type=int, default=0, help="max frames (0 = all)")
     run.add_argument("--volume-dims", type=int, default=128)
     run.add_argument("--out", default=None, help="output dir (default <dataset>/out)")
+    run.add_argument("--checkpoint-every", type=int, default=0,
+                     help="save <out>/checkpoint.npz every N frames")
+    run.add_argument("--resume", default=None, help="checkpoint to resume from")
 
     bench = sub.add_parser("bench", help="run the synthetic benchmark")
     bench.add_argument("--volume-dims", type=int, default=128)
@@ -38,6 +41,11 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.cmd == "run":
+        from dynfu_tpu.utils.device import print_short_device_info
+        from dynfu_tpu.utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
+        print_short_device_info()
         from dynfu_tpu.io.app import run_dataset
 
         return run_dataset(
@@ -46,6 +54,8 @@ def main(argv=None) -> int:
             max_frames=args.frames,
             volume_dims=args.volume_dims,
             export_viz=args.export_viz,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
         )
     if args.cmd == "bench":
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache
