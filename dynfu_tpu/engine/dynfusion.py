@@ -82,14 +82,84 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
     return wfield.WarpField(pos, dqs, w, mask, count)
 
 
-@jax.jit
-def _correspondence(warped_verts, warped_normals, warped_mask, live_verts, live_mask):
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _dedup_points(points, mask, capacity: int):
+    """Collapse duplicate rows (triangle-soup vertices repeat ~4x) so the
+    1-NN table is a fraction of the soup size. Exact: duplicates carry
+    identical coordinates, so the nearest-neighbor POSITION is unchanged.
+    Masked points are sent to +inf, which also serves as the fill row."""
+    pts = jnp.where(mask[:, None], points, jnp.inf)
+    uniq = jnp.unique(pts, axis=0, size=capacity, fill_value=jnp.inf)
+    ok = jnp.isfinite(uniq[:, 0])
+    return jnp.where(ok[:, None], uniq, 0.0), ok
+
+
+def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
+                    live_mask, capacity: int, parity: bool):
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
-    Fused 1-NN + fetch (MXU one-hot): no element gathers at vertex scale."""
+
+    Uses the sort-windowed fused 1-NN (ops.knn.nn1_gather_sorted) — both
+    clouds are near-coincident surfaces, so the windowed search is
+    certificate-exact in practice at a fraction of the brute-force
+    distance-matrix traffic. In parity mode normals are the placeholder
+    vertex copy, so only positions are fetched."""
+    if parity:
+        out, _ = knn.nn1_gather_sorted(
+            live_verts, warped_verts, warped_verts, warped_mask
+        )
+        return out, out, live_mask
     vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
-    _, out = knn.nn1_gather(live_verts, warped_verts, vals, warped_mask)
+    out, _ = knn.nn1_gather_sorted(live_verts, warped_verts, vals, warped_mask)
     return out[:, :3], out[:, 3:], live_mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dp", "intr", "config", "strict_parity"),
+    donate_argnums=(0,),
+)
+def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
+                    pose, *, dp, intr, config, strict_parity: bool):
+    """The ENTIRE frame-k non-rigid pipeline as one XLA program:
+    dists -> clear+integrate -> marching cubes -> warp canonical -> 1-NN
+    correspondence -> GN solve -> node insertion (dyn_fusion.cpp:100-144).
+    One dispatch per frame; no intermediate host round-trips."""
+    dists = imgproc.compute_dists(depth_mm, intr)
+
+    vol = tv.clear(vol)
+    vol = tv.integrate_separable(vol, dists, pose, intr, config)
+
+    mesh_verts, n_verts = marching_cubes(
+        vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices
+    )
+    live_m = jnp.arange(mesh_verts.shape[0]) < n_verts
+    live_v = mesh_verts
+    if strict_parity:
+        live_n = live_v  # placeholder-normal quirk (dyn_fusion.cpp:126-134)
+    else:
+        live_n = tv.extract_normals(vol, live_v, config)
+
+    # warp canonical -> live with the PRE-solve field (dyn_fusion.cpp:203)
+    wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
+
+    cap = dp.max_corr_points or (dp.max_vertices // 2)
+    corr_v, corr_n, corr_m = _correspondence(
+        wv, wn, canonical_m, live_v, live_m, cap, strict_parity
+    )
+
+    wf, stats = gn.solve(
+        wf, corr_v, live_v, vert_mask=corr_m & live_m,
+        tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+        lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
+        linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+    )
+
+    # node insertion from the warped canonical frame (dyn_fusion.cpp:142)
+    wf = wfield.update_warpfield(
+        wf, wv, canonical_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes
+    )
+    return vol, wf, wv, wn, live_v, live_n, live_m, mesh_verts, n_verts, stats
 
 
 class DynFusion(KinFu):
@@ -161,41 +231,20 @@ class DynFusion(KinFu):
         # pose: identity increment in parity mode (dyn_fusion.cpp:102-105)
         self.poses.append(self.poses[-1])
 
-        # clear + re-integrate from live depth (dyn_fusion.cpp:107-116)
-        self.vol = tv.clear(self.vol)
-        self.vol = tv.integrate_separable(self.vol, dists, self.poses[-1],
-                                          p.intr, self.tsdf_config)
-        self.live = self._mc_frame(self.frame_counter)
-
-        self._warp_canonical_to_live()
-        self.warpfield = wfield.update_warpfield(
-            self.warpfield, self.canonical_warped.vertices,
-            self.canonical_warped.mask, dp.epsilon, dp.node_voxel_leaf,
-            dp.max_new_nodes,
+        c = self.canonical
+        (self.vol, self.warpfield, wv, wn, live_v, live_n, live_m,
+         mesh_verts, n_verts, self.last_solve_stats) = _nonrigid_frame(
+            self.vol, self.warpfield, c.vertices, c.normals, c.mask,
+            depth_mm, self.poses[-1],
+            dp=dp, intr=p.intr, config=self.tsdf_config,
+            strict_parity=self.strict_parity,
         )
+        self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
+        self.live = Frame(self.frame_counter, live_v, live_n, live_m)
+        self.mesh_vertices = (mesh_verts, n_verts)
 
         self.frame_counter += 1
         return True
-
-    def _warp_canonical_to_live(self):
-        """warpCanonicalToLiveOpt (dyn_fusion.cpp:182-210)."""
-        dp = self.dynfu_params
-        c = self.canonical
-
-        wv, wn = wfield.warp_points_normals(self.warpfield, c.vertices, c.normals)
-        self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
-
-        corr_v, corr_n, corr_mask = _correspondence(
-            wv, wn, c.mask, self.live.vertices, self.live.mask
-        )
-
-        self.warpfield, self.last_solve_stats = gn.solve(
-            self.warpfield, corr_v, self.live.vertices,
-            vert_mask=corr_mask & self.live.mask,
-            tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
-            lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
-            linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
-        )
 
     # -- outputs ------------------------------------------------------------
     def render(self, flag: int = 0):

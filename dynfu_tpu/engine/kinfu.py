@@ -153,6 +153,22 @@ class KinFu:
         self.frame_counter += 1
         return was >= 2
 
+    def get_mesh(self, max_voxels: int = 1 << 17, max_verts: int = 3 * 600_000):
+        """Marching-cubes mesh of the current volume as an indexed
+        (vertices, faces) pair with the reference winding — the analog of
+        KinFu::getMesh / convertToMesh (kinfu.cpp:237-259). Vertices are in
+        the WORLD frame."""
+        import numpy as np
+
+        from dynfu_tpu.io.meshio import _soup_to_indexed
+        from dynfu_tpu.mesh import marching_cubes
+        from dynfu_tpu.mesh.mc import mesh_to_world
+
+        verts, n = marching_cubes(self.vol, self.tsdf_config,
+                                  max_voxels=max_voxels, max_verts=max_verts)
+        soup = mesh_to_world(verts, self.vol)
+        return _soup_to_indexed(np.asarray(soup)[: int(n)])
+
     # -- rendering (kinfu.cpp:261-316) --------------------------------------
     def render(self, flag: int = 0):
         """Phong render of the current reference model view.

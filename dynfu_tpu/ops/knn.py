@@ -128,17 +128,21 @@ def knn_blocked(
 
 
 def _onehot_fetch(oh_f32: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """oh @ table with exact-in-bf16 one-hot and hi/lo-split table: result is
-    f32-exact on the fast bf16 MXU path (avoids slow HIGHEST small matmuls)."""
+    """oh @ table with exact-in-bf16 one-hot and a THREE-term bf16 split of
+    the table (3 x 8 mantissa bits covers f32's 24): the fetch is f32-exact
+    on the fast bf16 MXU path (avoids slow HIGHEST small matmuls)."""
     oh = oh_f32.astype(jnp.bfloat16)
-    hi = table.astype(jnp.bfloat16)
-    lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     f32 = jnp.float32
-    out = jax.lax.dot_general(
-        oh, hi, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    ) + jax.lax.dot_general(
-        oh, lo, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    )
+    hi = table.astype(jnp.bfloat16)
+    rem = table - hi.astype(f32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(f32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        term = jax.lax.dot_general(
+            oh, part, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        out = term if out is None else out + term
     return out
 
 
@@ -174,6 +178,112 @@ def knn_gather(
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
+def nn1_gather_sorted(
+    queries: jnp.ndarray,  # (Q, 3)
+    points: jnp.ndarray,  # (P, 3)
+    values: jnp.ndarray,  # (P, F)
+    point_mask: jnp.ndarray | None = None,
+    block: int = 8192,
+):
+    """Windowed 1-NN + fetch for near-coincident surfaces: (vals, exact).
+
+    Both sets are sorted along x (lax.sort with payload columns — no
+    permutation gathers); each query block scans only the three point blocks
+    overlapping its rank window, cutting the (Q, P) distance-matrix traffic
+    — the bandwidth bound of brute-force 1-NN — by a factor ~P/(3*block).
+
+    Exactness: the true NN satisfies |p*_x - q_x| <= dist(q, p*), so a
+    window answer is provably exact whenever its distance is smaller than
+    the query's x-gap to the nearest EXCLUDED block; the returned `exact`
+    mask reports that certificate per query. For the engine's workload
+    (live vs warped-canonical vertices, millimeters apart on the same
+    surface, window spans of centimeters+) it is essentially all-true.
+    """
+    Q = queries.shape[0]
+    P = points.shape[0]
+    F = values.shape[1]
+    BIG = jnp.float32(3e38)
+    center = jnp.mean(points, axis=0)  # cancellation control (see nn1_gather)
+    queries = queries - center
+    points = points - center
+
+    if point_mask is not None:
+        pts = jnp.where(point_mask[:, None], points, BIG)
+    else:
+        pts = points
+    # sort points by x, carrying y/z and the value columns as payloads
+    p_ops = (pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
+        values[:, f] for f in range(F)
+    )
+    p_sorted = jax.lax.sort(p_ops, num_keys=1)
+    ps = jnp.stack(p_sorted[:3], axis=1)  # (P, 3)
+    vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
+
+    # sort queries by x, carrying y/z and the original rank for un-sorting
+    q_ops = (queries[:, 0], queries[:, 1], queries[:, 2],
+             jnp.arange(Q, dtype=jnp.int32))
+    q_sorted = jax.lax.sort(q_ops, num_keys=1)
+    qs = jnp.stack(q_sorted[:3], axis=1)
+    q_rank = q_sorted[3]
+
+    padq = (-Q) % block
+    qs = jnp.pad(qs, ((0, padq), (0, 0)), constant_values=BIG)
+    nqb = qs.shape[0] // block
+    padp = max(3 * block, ((P + block - 1) // block) * block) - P
+    ps = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=BIG)
+    vs = jnp.pad(vs, ((0, padp), (0, 0)))
+    npb = ps.shape[0] // block
+    iota3 = jnp.arange(3 * block, dtype=jnp.int32)
+
+    def one(i, carry):
+        val_all, dist_all, exact_all = carry
+        qb = jax.lax.dynamic_slice_in_dim(qs, i * block, block, 0)
+        c = jnp.clip((i * npb) // nqb, 0, npb - 1)
+        lo = jnp.clip(c - 1, 0, jnp.maximum(npb - 3, 0))
+        pb = jax.lax.dynamic_slice_in_dim(ps, lo * block, 3 * block, 0)
+        vb = jax.lax.dynamic_slice_in_dim(vs, lo * block, 3 * block, 0)
+
+        # BIG-sentinel rows (masked points, padding) must yield +inf distance,
+        # not inf-inf=NaN (argmin would return the NaN column)
+        valid_p = pb[:, 0] < 1e37
+        pbz = jnp.where(valid_p[:, None], pb, 0.0)
+        pn = jnp.sum(pbz * pbz, axis=-1)
+        cross = jnp.matmul(_pad_coords(qb), _pad_coords(pbz).T, precision=_hi)
+        qn = jnp.sum(qb * qb, axis=-1, keepdims=True)
+        d = jnp.maximum(qn - 2.0 * cross + pn[None, :], 0.0)
+        d = jnp.where(valid_p[None, :], d, _INF)
+        j = jnp.argmin(d, axis=-1)
+        dbest = jnp.min(d, axis=-1)
+        oh = (iota3[None, :] == j[:, None]).astype(jnp.float32)
+        vals = _onehot_fetch(oh, vb)
+
+        # exactness certificate vs the x-ranges outside the window
+        gap_lo = jnp.where(lo > 0, qb[:, 0] - pb[0, 0], jnp.inf)
+        gap_hi = jnp.where(lo + 3 < npb, pb[-1, 0] - qb[:, 0], jnp.inf)
+        gap = jnp.minimum(jnp.abs(gap_lo), jnp.abs(gap_hi))
+        exact = dbest <= gap * gap
+
+        val_all = jax.lax.dynamic_update_slice_in_dim(val_all, vals, i * block, 0)
+        dist_all = jax.lax.dynamic_update_slice_in_dim(dist_all, dbest, i * block, 0)
+        exact_all = jax.lax.dynamic_update_slice_in_dim(exact_all, exact, i * block, 0)
+        return val_all, dist_all, exact_all
+
+    val0 = jnp.zeros((nqb * block, F), jnp.float32)
+    d0 = jnp.zeros((nqb * block,), jnp.float32)
+    ex0 = jnp.zeros((nqb * block,), bool)
+    val_s, dist_s, ex_s = jax.lax.fori_loop(0, nqb, one, (val0, d0, ex0))
+
+    # un-sort: order results by the carried original query rank
+    out_ops = (q_rank, ex_s[:Q].astype(jnp.int32)) + tuple(
+        val_s[:Q, f] for f in range(F)
+    )
+    restored = jax.lax.sort(out_ops, num_keys=1)
+    exact = restored[1] > 0
+    vals = jnp.stack(restored[2:], axis=1)
+    return vals, exact
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
 def nn1_gather(
     queries: jnp.ndarray,  # (Q, 3)
     points: jnp.ndarray,  # (P, 3)
@@ -194,6 +304,12 @@ def nn1_gather(
     """
     Q = queries.shape[0]
     P = points.shape[0]
+    # center on the cloud: |q-c|, |p-c| ~ scene extents instead of absolute
+    # coordinates, which shrinks the cancellation error of the
+    # pn - 2 q.p distance form by the square of the ratio
+    center = jnp.mean(points, axis=0)
+    queries = queries - center
+    points = points - center
     pad = (-Q) % block
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
     nblocks = qp.shape[0] // block

@@ -105,6 +105,98 @@ def _solve_svd(A, b):
     return jnp.linalg.pinv(A, rcond=1e-10) @ b
 
 
+def _icp_normal_equations_depth(
+    aff_R, aff_t, dcurr, ncurr, dprev, nprev, intr: Intr,
+    dist2_thres: float, min_cosine: float,
+):
+    """USE_DEPTH variant of the correspondence (proj_icp.cu:41-68): the
+    current vertex comes from the depth map (reproject at own pixel), the
+    previous vertex from the depth fetched at the PROJECTED pixel."""
+    H, W = dcurr.shape
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    z = dcurr.astype(jnp.float32) * 0.001
+    px = z * (xs - intr.cx) / intr.fx
+    py = z * (ys - intr.cy) / intr.fy
+    pcur = jnp.stack([px, py, z], axis=-1)
+    s = _mm(pcur.reshape(-1, 3), aff_R.T).reshape(H, W, 3) + aff_t
+
+    u = intr.fx * s[..., 0] / s[..., 2] + intr.cx
+    v = intr.fy * s[..., 1] / s[..., 2] + intr.cy
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+    in_img = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (s[..., 2] > 0)
+    ui = jnp.clip(ui, 0, W - 1)
+    vi = jnp.clip(vi, 0, H - 1)
+
+    dz = dprev[vi, ui].astype(jnp.float32) * 0.001
+    d = jnp.stack(
+        [dz * (u - intr.cx) / intr.fx, dz * (v - intr.cy) / intr.fy, dz], -1
+    )
+    nd = nprev[vi, ui]
+
+    ns = _mm(ncurr.reshape(-1, 3), aff_R.T).reshape(H, W, 3)
+    diff = s - d
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    cosine = jnp.abs(jnp.sum(ns * nd, axis=-1))
+    valid = (
+        (dcurr > 0) & in_img & (dz > 0) & (dist2 <= dist2_thres)
+        & (cosine >= min_cosine) & ~jnp.isnan(nd[..., 0]) & ~jnp.isnan(ncurr[..., 0])
+    )
+
+    c = jnp.cross(s, nd)
+    J = jnp.where(valid[..., None], jnp.concatenate([c, nd], -1), 0.0)
+    r = jnp.where(valid, jnp.sum(nd * (d - s), -1), 0.0)
+    J = jnp.nan_to_num(J).reshape(-1, 6)
+    r = jnp.nan_to_num(r).reshape(-1)
+    return _mm(J.T, J), J.T @ r
+
+
+@functools.partial(
+    jax.jit, static_argnames=("intr", "iters", "dist_thres", "angle_thres")
+)
+def estimate_transform_depth(
+    curr_pyr,  # [(depth_mm, normals)] per level
+    prev_pyr,
+    intr: Intr,
+    iters: Tuple[int, ...] = (10, 5, 4, 0),
+    dist_thres: float = 0.1,
+    angle_thres: float = 0.5235988,
+):
+    """Coarse-to-fine rigid pose estimate on DEPTH pyramids (the reference's
+    USE_DEPTH build path, projective_icp.cpp:116-155). Same return contract
+    as estimate_transform."""
+    dist2 = dist_thres * dist_thres
+    min_cos = jnp.cos(jnp.float32(angle_thres))
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.zeros((3,), jnp.float32)
+    ok = jnp.asarray(True)
+
+    for level in range(len(iters) - 1, -1, -1):
+        n_iter = iters[level]
+        if n_iter == 0:
+            continue
+        dcurr, ncurr = curr_pyr[level]
+        dprev, nprev = prev_pyr[level]
+        lintr = intr.level(level)
+
+        def body(_, carry, dcurr=dcurr, ncurr=ncurr, dprev=dprev, nprev=nprev,
+                 lintr=lintr):
+            R, t, ok = carry
+            A, b = _icp_normal_equations_depth(
+                R, t, dcurr, ncurr, dprev, nprev, lintr, dist2, min_cos
+            )
+            det = jnp.linalg.det(A)
+            good = ok & (jnp.abs(det) >= 1e-15) & ~jnp.isnan(det)
+            x = _solve_svd(A, b)
+            Rinc, tinc = se3.from_rodrigues(x[:3], x[3:])
+            Rn, tn = se3.compose((Rinc, tinc), (R, t))
+            return (jnp.where(good, Rn, R), jnp.where(good, tn, t), good)
+
+        R, t, ok = jax.lax.fori_loop(0, n_iter, body, (R, t, ok))
+    return (R, t), ok
+
+
 @functools.partial(
     jax.jit, static_argnames=("intr", "iters", "dist_thres", "angle_thres")
 )

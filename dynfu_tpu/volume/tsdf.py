@@ -94,6 +94,20 @@ def create(config: TsdfConfig, pose=None) -> TsdfVolume:
     )
 
 
+def set_pose(vol: TsdfVolume, pose) -> TsdfVolume:
+    """TsdfVolume::setPose analog (tsdf_volume.hpp:30)."""
+    R, t = pose
+    return vol._replace(pose_r=jnp.asarray(R, jnp.float32),
+                        pose_t=jnp.asarray(t, jnp.float32))
+
+
+def apply_affine(vol: TsdfVolume, affine) -> TsdfVolume:
+    """TsdfVolume::applyAffine analog (tsdf_volume.hpp:42): compose the
+    given transform onto the volume pose."""
+    R, t = se3.compose(affine, (vol.pose_r, vol.pose_t))
+    return vol._replace(pose_r=R, pose_t=t)
+
+
 def clear(vol: TsdfVolume) -> TsdfVolume:
     """pack_tsdf(0, 0) everywhere (clear_volume_kernel, tsdf_volume.cu:11-22)."""
     return vol._replace(

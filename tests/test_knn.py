@@ -73,3 +73,56 @@ def test_knn_blocked_equals_brute():
     i2, d2 = knn.knn_blocked(q, p, 8, block=256)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-6)
+
+
+def test_nn1_gather_sorted_matches_exact():
+    """Windowed sorted 1-NN equals brute-force on surface-like data."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(11)
+    base = np.sort(rng.rand(4000).astype(np.float32)) * 2.0
+    pts = np.stack(
+        [base, np.cos(base * 7) * 0.4 + 1.0, np.sin(base * 7) * 0.4 + 1.0], -1
+    ).astype(np.float32)
+    queries = pts + rng.randn(4000, 3).astype(np.float32) * 0.003
+    vals = np.concatenate([pts, pts * 2], 1).astype(np.float32)
+
+    got, exact = knn.nn1_gather_sorted(
+        jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals), block=512
+    )
+    _, want = knn.nn1_gather(jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals))
+    got, want, exact = np.asarray(got), np.asarray(want), np.asarray(exact)
+    assert exact.mean() > 0.999  # certificate essentially always holds
+    # near-equidistant candidates resolve differently under f32 noise
+    # (~2e-7 m^2 at unit coordinate scale = sub-mm); require distance
+    # optimality up to that noise and near-total agreement
+    dg = np.sum((queries - got[:, :3]) ** 2, axis=1)
+    dw = np.sum((queries - want[:, :3]) ** 2, axis=1)
+    assert (dg[exact] <= dw[exact] + 5e-7).all()
+    same = np.isclose(got, want, atol=1e-5).all(1)
+    assert same[exact].mean() > 0.95
+
+
+def test_nn1_gather_sorted_respects_mask():
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(5)
+    pts = rng.rand(600, 3).astype(np.float32)
+    queries = pts + 0.001
+    mask = np.ones(600, bool)
+    mask[::2] = False  # half the points masked out
+    vals = pts.astype(np.float32)
+    got, _ = knn.nn1_gather_sorted(
+        jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals),
+        jnp.asarray(mask), block=256,
+    )
+    _, want = knn.nn1_gather(
+        jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(mask)
+    )
+    # masked points never returned: every result must be a valid point
+    d = np.linalg.norm(np.asarray(got)[:, None, :] - pts[None, mask], axis=-1)
+    assert d.min(axis=1).max() < 1e-5
