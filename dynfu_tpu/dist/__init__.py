@@ -1,3 +1,4 @@
+from dynfu_tpu.dist.runtime import init_distributed, is_primary  # noqa: F401
 from dynfu_tpu.dist.spmd import (  # noqa: F401
     make_mesh,
     shard_volume,

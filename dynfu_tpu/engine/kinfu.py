@@ -102,6 +102,14 @@ class KinFu:
         ]
         return dists, pyr
 
+    # camera tilt (radians) up to which the homography fast paths cover the
+    # real frustum with the default virtual-image margin
+    MAX_HOMOGRAPHY_TILT = 0.6
+
+    def _rotation_angle(self, pose) -> float:
+        R = np.asarray(pose[0])
+        return float(np.arccos(np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)))
+
     def _aligned(self, pose) -> bool:
         """True when the camera rotation (and the volume pose rotation) is
         identity, enabling the separable MXU integrate/raycast fast paths.
@@ -109,8 +117,27 @@ class KinFu:
         return bool(np.allclose(np.asarray(pose[0]), np.eye(3), atol=1e-6))
 
     def _integrate(self, dists, pose):
-        fn = tv.integrate_separable if self._aligned(pose) else tv.integrate
+        """Fast-path dispatch: separable MXU (identity rotation) ->
+        homography-warped separable (moderate tilt) -> generic gather."""
+        if self._aligned(pose):
+            fn = tv.integrate_separable
+        elif (self.params.raycast_mode == "auto"
+              and self._rotation_angle(pose) < self.MAX_HOMOGRAPHY_TILT):
+            fn = tv.integrate_rotated
+        else:
+            fn = tv.integrate
         return fn(self.vol, dists, pose, self.params.intr, self.tsdf_config)
+
+    def _raycast(self, pose):
+        p = self.params
+        if self._aligned(pose):
+            fn = tv.raycast_separable
+        elif (p.raycast_mode == "auto"
+              and self._rotation_angle(pose) < self.MAX_HOMOGRAPHY_TILT):
+            fn = tv.raycast_rotated
+        else:
+            fn = tv.raycast
+        return fn(self.vol, pose, p.intr, (p.rows, p.cols), self.tsdf_config)
 
     def __call__(self, depth_mm) -> bool:
         p = self.params
@@ -139,10 +166,7 @@ class KinFu:
         self.vol = self._integrate(dists, self.poses[-1])
 
         # raycast the fused model into the new reference pyramid
-        rc = tv.raycast_separable if self._aligned(self.poses[-1]) else tv.raycast
-        pts, nrm = rc(
-            self.vol, self.poses[-1], p.intr, (p.rows, p.cols), self.tsdf_config
-        )
+        pts, nrm = self._raycast(self.poses[-1])
         prev = [(pts, nrm)]
         for _ in range(1, self.levels):
             prev.append(imgproc.resize_points_normals(*prev[-1]))

@@ -53,6 +53,12 @@ class KinFuParams:
 
     light_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
+    # integrate/raycast dispatch under camera rotation: 'auto' uses the
+    # homography fast paths below MAX_HOMOGRAPHY_TILT (fast, ~one-pixel
+    # resampling noise); 'exact' always uses the per-voxel/per-ray gather
+    # formulations (slow, quantization-free)
+    raycast_mode: str = "auto"
+
     @staticmethod
     def default_params() -> "KinFuParams":
         return KinFuParams()

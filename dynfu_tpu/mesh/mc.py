@@ -87,18 +87,16 @@ def marching_cubes(
         cube = cube + (fi < 0.0).astype(jnp.int32) * (1 << i)
 
     cube = jnp.where(all_weighted, cube, 0)
-    nverts = nv_tab[cube]  # (X-1, Y-1, Z-1)
 
     # --- compaction + offsets (thrust scan -> cumsum) -----------------------
-    occ_flat = (nverts > 0).reshape(-1)
+    # occupancy needs NO table lookup: every case except 0/255 emits
+    # triangles, so occ = (cube not trivial) — pure comparisons over the
+    # dense field (TPU gathers are the slow operation here, LUTs come later
+    # on the COMPACTED set only)
+    occ_flat = ((cube != 0) & (cube != 255)).reshape(-1)
     n_cells = occ_flat.shape[0]
     vox_idx = jnp.nonzero(occ_flat, size=max_voxels, fill_value=n_cells)[0]
     vox_valid = vox_idx < n_cells
-
-    nv_flat = jnp.concatenate([nverts.reshape(-1), jnp.zeros((1,), jnp.int32)])
-    occ_nverts = jnp.where(vox_valid, nv_flat[vox_idx], 0)  # (max_voxels,)
-    v_offsets = jnp.cumsum(occ_nverts) - occ_nverts  # exclusive scan
-    total_verts = jnp.minimum(v_offsets[-1] + occ_nverts[-1], max_verts)
 
     # --- pass 2: triangle generation per occupied voxel ---------------------
     # decode flat cell id -> (x, y, z); flat order is x-major C order over
@@ -119,7 +117,23 @@ def marching_cubes(
          for i in range(8)],
         axis=-1,
     )
-    cubeidx = jnp.where(vox_valid, cube.reshape(-1 )[jnp.minimum(vox_idx, n_cells - 1)], 0)
+    cubeidx = jnp.where(vox_valid, cube.reshape(-1)[jnp.minimum(vox_idx, n_cells - 1)], 0)
+
+    # both LUTs in ONE one-hot matmul over the compacted set: columns =
+    # [num_verts | tri rows] (a (256, 17) table)
+    lut = jnp.concatenate(
+        [nv_tab[:, None].astype(jnp.float32), tri_tab.astype(jnp.float32)], axis=1
+    )
+    oh = (cubeidx[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    lut_rows = jnp.matmul(
+        oh.astype(jnp.bfloat16), lut.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # exact: one-hot 0/1 and LUT ints in [-1, 15] are bf16-representable
+    occ_nverts = jnp.where(vox_valid, lut_rows[:, 0].astype(jnp.int32), 0)
+    v_offsets = jnp.cumsum(occ_nverts) - occ_nverts  # exclusive scan
+    total_verts = jnp.minimum(v_offsets[-1] + occ_nverts[-1], max_verts)
 
     # voxel-center corner positions: (max_voxels, 8, 3)
     base = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32)  # (M, 3)
@@ -134,11 +148,15 @@ def marching_cubes(
     t = (0.0 - f0) / (f1 - f0 + 1e-15)
     vertlist = p0 + t[..., None] * (p1 - p0)  # (M, 12, 3)
 
-    # LUT rows: (max_voxels, 16) edge ids (-1 padding); 15 usable slots
-    rows = tri_tab[cubeidx][:, :15]  # (M, 15)
+    # LUT rows: (max_voxels, 15) edge ids (-1 padding) from the fused lookup
+    rows = lut_rows[:, 1:16].astype(jnp.int32)  # (M, 15)
     emit = (rows >= 0) & vox_valid[:, None]
-    safe_rows = jnp.maximum(rows, 0)
-    verts = jnp.take_along_axis(vertlist, safe_rows[..., None], axis=1)  # (M, 15, 3)
+    # per-slot edge select as a masked sum over the 12 edges (gather-free)
+    sel = (rows[:, :, None] == jnp.arange(12, dtype=jnp.int32)[None, None, :])
+    verts = jnp.einsum(
+        "mse,mec->msc", sel.astype(jnp.float32), vertlist,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (M, 15, 3)
 
     # scatter into the output stream at v_offsets + slot
     slot = jnp.arange(15, dtype=jnp.int32)[None, :]

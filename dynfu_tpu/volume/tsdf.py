@@ -289,6 +289,200 @@ def integrate_separable(
 
 
 # ---------------------------------------------------------------------------
+# rotation support for the separable paths: homography re-mapping
+#
+# Rotating the camera about its center only permutes RAY DIRECTIONS; the
+# `dists` image stores the radial ray length, which is rotation-invariant.
+# So integrating with a rotated camera equals integrating axis-aligned with
+# the dists image warped by the pure-rotation homography H = K R K^-1 —
+# a (H, W) image resample (trivial traffic) instead of a (X, Y, Z) volume
+# gather. Same factorization applies to raycast: march on a virtual
+# axis-aligned grid that covers the rotated frustum, then re-map the
+# point/normal images to the real pixel grid and rotate the vectors.
+# Valid while the rotation keeps the real frustum inside the (padded)
+# virtual one — ~45 degrees of camera tilt; beyond that the engines fall
+# back to the generic gather paths.
+# ---------------------------------------------------------------------------
+
+
+def _rotation_homography(R_rel: jnp.ndarray, intr: Intr):
+    """Map VIRTUAL pixel (axis-aligned camera) -> REAL pixel: u = K R K^-1 u'."""
+    K = jnp.asarray(
+        [[intr.fx, 0.0, intr.cx], [0.0, intr.fy, intr.cy], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    Kinv = jnp.asarray(
+        [[1.0 / intr.fx, 0.0, -intr.cx / intr.fx],
+         [0.0, 1.0 / intr.fy, -intr.cy / intr.fy],
+         [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    return _mm(K, _mm(R_rel, Kinv))
+
+
+def _warp_image_nearest(img: jnp.ndarray, Hmat: jnp.ndarray, out_shape):
+    """out[v', u'] = img[H(u', v')] with nearest (floor) sampling; 0 outside.
+
+    One small-image gather (~3e5 elements) — cheap even at the measured slow
+    TPU gather rate, and exactly mirrors the reference's point-mode fetches.
+    """
+    Ho, Wo = out_shape
+    Hi, Wi = img.shape
+    u = jnp.arange(Wo, dtype=jnp.float32)[None, :]
+    v = jnp.arange(Ho, dtype=jnp.float32)[:, None]
+    x = Hmat[0, 0] * u + Hmat[0, 1] * v + Hmat[0, 2]
+    y = Hmat[1, 0] * u + Hmat[1, 1] * v + Hmat[1, 2]
+    w = Hmat[2, 0] * u + Hmat[2, 1] * v + Hmat[2, 2]
+    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+    px = x / safe_w
+    py = y / safe_w
+    ok = (w > 1e-12) & (px >= 0) & (py >= 0) & (px < Wi) & (py < Hi)
+    xi = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, Wi - 1)
+    yi = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Hi - 1)
+    out = img[yi, xi]
+    return jnp.where(ok, out, jnp.zeros((), img.dtype))
+
+
+def _vol2cam_rotation_split(vol: TsdfVolume, camera_pose):
+    """Factor vol2cam = (R', t') as R' ∘ (I, R'^T t'): the virtual
+    axis-aligned camera shares the real camera CENTER (-R'^T t' in volume
+    coords), and the rotation moves into the image-plane homography.
+    Returns (R', virtual camera pose)."""
+    vol2cam = se3.compose(se3.inverse(camera_pose), (vol.pose_r, vol.pose_t))
+    R_rel, t_rel = vol2cam
+    t_virt = _mm(R_rel.T, t_rel)
+    # virtual camera pose cam' with inv(cam') ∘ vol_pose == (I, t_virt)
+    virt = se3.compose((vol.pose_r, vol.pose_t), (jnp.eye(3), -t_virt))
+    return R_rel, virt
+
+
+@functools.partial(jax.jit, static_argnames=("config", "intr"), donate_argnums=(0,))
+def integrate_rotated(
+    vol: TsdfVolume,
+    dists: jnp.ndarray,
+    camera_pose: tuple,
+    intr: Intr,
+    config: TsdfConfig,
+) -> TsdfVolume:
+    """Rotated-camera integrate on the separable MXU path: warp the dists
+    image by the rotation homography, then run integrate_separable from the
+    equivalent axis-aligned camera. sdf uses |vc|, which is rotation
+    invariant, so the update is mathematically identical up to the pixel
+    quantization of one image resample."""
+    R_rel, virt_pose = _vol2cam_rotation_split(vol, camera_pose)
+    Hmat = _rotation_homography(R_rel, intr)
+    warped = _warp_image_nearest(dists, Hmat, dists.shape)
+    return integrate_separable(vol, warped, virt_pose, intr, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "intr", "shape", "fov_margin"))
+def raycast_rotated(
+    vol: TsdfVolume,
+    camera_pose: tuple,
+    intr: Intr,
+    shape: Tuple[int, int],
+    config: TsdfConfig,
+    fov_margin: float = 1.6,
+):
+    """Rotated-camera raycast via a virtual axis-aligned march.
+
+    Runs raycast_separable on an enlarged virtual image (same focal length,
+    fov_margin x the pixel extent, recentred) whose frustum covers the
+    rotated real frustum for tilts up to ~atan(margin) - fov/2; then maps
+    each real pixel into the virtual image (homography, nearest sample) and
+    rotates points/normals into the real camera frame.
+    """
+    H, W = shape
+    Hv = int(H * fov_margin) // 8 * 8 + 8
+    Wv = int(W * fov_margin) // 8 * 8 + 8
+    vintr = Intr(intr.fx, intr.fy, Wv / 2 - 0.5, Hv / 2 - 0.5)
+
+    R_rel, virt_pose = _vol2cam_rotation_split(vol, camera_pose)
+    pts_v, nrm_v = raycast_separable(vol, virt_pose, vintr, (Hv, Wv), config)
+
+    # real pixel -> virtual pixel: u' = Kv R_rel^T K^-1 u
+    Kv = jnp.asarray(
+        [[vintr.fx, 0.0, vintr.cx], [0.0, vintr.fy, vintr.cy], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    Kinv = jnp.asarray(
+        [[1.0 / intr.fx, 0.0, -intr.cx / intr.fx],
+         [0.0, 1.0 / intr.fy, -intr.cy / intr.fy],
+         [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    M = _mm(Kv, _mm(R_rel.T, Kinv))
+
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x = M[0, 0] * u + M[0, 1] * v + M[0, 2]
+    y = M[1, 0] * u + M[1, 1] * v + M[1, 2]
+    w = M[2, 0] * u + M[2, 1] * v + M[2, 2]
+    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+    px = x / safe_w
+    py = y / safe_w
+    ok = (w > 1e-12) & (px >= 0) & (py >= 0) & (px <= Wv - 1) & (py <= Hv - 1)
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, Wv - 2)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Hv - 2)
+    a = jnp.clip(px - x0, 0.0, 1.0)[..., None]
+    b = jnp.clip(py - y0, 0.0, 1.0)[..., None]
+
+    # validity-weighted bilinear over the 4 neighbors (nearest re-mapping
+    # would quantize ray directions by half a pixel — millimeters at range)
+    def tap(img, dy, dx):
+        return img[y0 + dy, x0 + dx]
+
+    wts = [(1 - a) * (1 - b), a * (1 - b), (1 - a) * b, a * b]
+    taps = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    psum = jnp.zeros((H, W, 3), jnp.float32)
+    nsum = jnp.zeros((H, W, 3), jnp.float32)
+    wsum = jnp.zeros((H, W, 1), jnp.float32)
+    zmin = jnp.full((H, W), jnp.inf)
+    zmax = jnp.full((H, W), -jnp.inf)
+    for wt, (dy, dx) in zip(wts, taps):
+        pv = tap(pts_v, dy, dx)
+        nv = tap(nrm_v, dy, dx)
+        valid = ~jnp.isnan(pv[..., :1])
+        wv = jnp.where(valid, wt, 0.0)
+        psum = psum + jnp.nan_to_num(pv) * wv
+        nsum = nsum + jnp.nan_to_num(nv) * wv
+        wsum = wsum + wv
+        zv = jnp.where(valid[..., 0], pv[..., 2], jnp.nan)
+        zmin = jnp.minimum(zmin, jnp.nan_to_num(zv, nan=jnp.inf))
+        zmax = jnp.maximum(zmax, jnp.nan_to_num(zv, nan=-jnp.inf))
+    good = ok & (wsum[..., 0] > 0.5)  # majority of bilinear mass valid
+    p = psum / jnp.maximum(wsum, 1e-12)
+    n = nsum / jnp.maximum(
+        jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12
+    )
+    # silhouette guard: where the 4 taps straddle a depth discontinuity the
+    # blend is a phantom mid-air point — use the max-weight valid tap instead
+    edge = (zmax - zmin) > 4.0 * max(config.voxel_size)
+    best_p = jnp.full((H, W, 3), jnp.nan)
+    best_n = jnp.full((H, W, 3), jnp.nan)
+    best_w = jnp.full((H, W, 1), -1.0)
+    for wt, (dy, dx) in zip(wts, taps):
+        pv = tap(pts_v, dy, dx)
+        nv = tap(nrm_v, dy, dx)
+        valid = ~jnp.isnan(pv[..., :1])
+        wv = jnp.where(valid, wt, -2.0)
+        takebest = wv > best_w
+        best_p = jnp.where(takebest, pv, best_p)
+        best_n = jnp.where(takebest, nv, best_n)
+        best_w = jnp.where(takebest, wv, best_w)
+    p = jnp.where(edge[..., None], best_p, p)
+    n = jnp.where(edge[..., None], best_n, n)
+    good = good & ~jnp.isnan(p[..., 0])
+    # virtual camera frame -> real camera frame: p_real = R_rel @ p_virtual
+    p = _mm(p.reshape(-1, 3), R_rel.T).reshape(H, W, 3)
+    n = _mm(n.reshape(-1, 3), R_rel.T).reshape(H, W, 3)
+    return (
+        jnp.where(good[..., None], p, _QNAN),
+        jnp.where(good[..., None], n, _QNAN),
+    )
+
+
+# ---------------------------------------------------------------------------
 # trilinear interpolation — device interpolate (tsdf_volume.cu:146-171)
 # ---------------------------------------------------------------------------
 

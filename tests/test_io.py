@@ -115,3 +115,14 @@ def test_cli_synth(tmp_path):
                    "--rows", "32", "--cols", "40"])
     assert rc == 0
     assert len(os.listdir(tmp_path / "s" / "depth")) == 2
+
+
+def test_render_cloud():
+    from dynfu_tpu.utils.viz import render_cloud
+
+    rng = np.random.RandomState(2)
+    pts = rng.rand(500, 3).astype(np.float32) * 0.4 - 0.2
+    pts[:, 2] += 1.0
+    img = render_cloud(pts, Intr(140.0, 140.0, 63.5, 47.5), shape=(96, 128))
+    assert img.shape == (96, 128, 3) and img.dtype == np.uint8
+    assert img.max() > img.min()  # something rendered
