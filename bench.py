@@ -15,9 +15,12 @@ def main() -> int:
     from dynfu_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
+    import os
+
     from dynfu_tpu.utils.benchmarks import run_benchmark
 
-    result = run_benchmark()
+    dims = int(os.environ.get("DYNFU_BENCH_DIMS", "128"))
+    result = run_benchmark(volume_dims=dims)
     print(json.dumps({
         "metric": result["metric"],
         "value": result["value"],

@@ -99,19 +99,22 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
 
-    Uses the sort-windowed fused 1-NN (ops.knn.nn1_gather_sorted) — both
-    clouds are near-coincident surfaces, so the windowed search is
-    certificate-exact in practice at a fraction of the brute-force
-    distance-matrix traffic. In parity mode normals are the placeholder
-    vertex copy, so only positions are fetched."""
+    Uses the sort-windowed fused 1-NN (ops.knn.nn1_gather_sorted) at a
+    fraction of the brute-force distance-matrix traffic. Queries whose
+    window-exactness certificate fails (dense x-slabs, e.g. sphere pole
+    caps, can shrink the window below the NN radius) are MASKED OUT of the
+    returned correspondence instead of contributing a possibly-wrong pair —
+    the robust data term loses a few samples rather than gaining outliers.
+    In parity mode normals are the placeholder vertex copy, so only
+    positions are fetched."""
     if parity:
-        out, _ = knn.nn1_gather_sorted(
+        out, exact = knn.nn1_gather_sorted(
             live_verts, warped_verts, warped_verts, warped_mask
         )
-        return out, out, live_mask
+        return out, out, live_mask & exact
     vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
-    out, _ = knn.nn1_gather_sorted(live_verts, warped_verts, vals, warped_mask)
-    return out[:, :3], out[:, 3:], live_mask
+    out, exact = knn.nn1_gather_sorted(live_verts, warped_verts, vals, warped_mask)
+    return out[:, :3], out[:, 3:], live_mask & exact
 
 
 @functools.partial(

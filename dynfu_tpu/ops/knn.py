@@ -234,11 +234,18 @@ def nn1_gather_sorted(
     vs = jnp.pad(vs, ((0, padp), (0, 0)))
     npb = ps.shape[0] // block
     iota3 = jnp.arange(3 * block, dtype=jnp.int32)
+    # x-value at the start of each point block: the window for a query block
+    # is aligned by VALUE (searchsorted), not rank — rank alignment breaks
+    # when the two sets carry different masked/padding fractions
+    block_x0 = ps[:: block, 0]  # (npb,)
 
     def one(i, carry):
         val_all, dist_all, exact_all = carry
         qb = jax.lax.dynamic_slice_in_dim(qs, i * block, block, 0)
-        c = jnp.clip((i * npb) // nqb, 0, npb - 1)
+        qmid = qb[block // 2, 0]
+        c = jnp.clip(
+            jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1, 0, npb - 1
+        )
         lo = jnp.clip(c - 1, 0, jnp.maximum(npb - 3, 0))
         pb = jax.lax.dynamic_slice_in_dim(ps, lo * block, 3 * block, 0)
         vb = jax.lax.dynamic_slice_in_dim(vs, lo * block, 3 * block, 0)

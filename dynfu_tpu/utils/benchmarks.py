@@ -32,17 +32,31 @@ def run_benchmark(
     warmup: int = 3,
     rows: int = 480,
     cols: int = 640,
-    max_nodes: int = 1024,
-    max_vertices: int = 1 << 17,
+    max_nodes: int = 0,
+    max_vertices: int = 0,
 ) -> dict:
     intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
+    # buffer capacities sized to the isosurface vertex count, which grows
+    # ~quadratically with volume resolution
+    if volume_dims >= 384:
+        caps = dict(max_vertices=1 << 17, max_mc_voxels=1 << 16,
+                    max_nodes=1024, max_new_nodes=512)
+    elif volume_dims >= 192:
+        caps = dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,
+                    max_nodes=512, max_new_nodes=256)
+    else:
+        caps = dict(max_vertices=1 << 15, max_mc_voxels=1 << 13,
+                    max_nodes=256, max_new_nodes=128)
+    if max_nodes:
+        caps["max_nodes"] = max_nodes
+    if max_vertices:
+        caps["max_vertices"] = max_vertices
     params = DynFuParams(
         kinfu=KinFuParams(
             rows=rows, cols=cols, intr=intr,
             volume_dims=(volume_dims,) * 3,
         ),
-        max_nodes=max_nodes, max_vertices=max_vertices,
-        max_mc_voxels=1 << 16, max_new_nodes=512,
+        **caps,
     )
     engine = DynFusion(params)
     cx, cy = cols / 2 - 0.5, rows / 2 - 0.5
