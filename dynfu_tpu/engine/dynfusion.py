@@ -215,9 +215,9 @@ class DynFusion(KinFu):
         dp = self.dynfu_params
         p = self.params
         depth_mm = jnp.asarray(depth_mm, jnp.int32)
-        dists, filtered = self._preprocess_nonrigid(depth_mm)
 
         if self.frame_counter == 0:
+            dists, filtered = self._preprocess_nonrigid(depth_mm)
             # pose is identity for the whole parity pipeline -> separable MXU path
             self.vol = tv.integrate_separable(self.vol, dists, self.poses[-1],
                                               p.intr, self.tsdf_config)
