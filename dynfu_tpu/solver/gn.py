@@ -134,7 +134,7 @@ def build_graphs(wf: wfield.WarpField, canonical_v, knn_k: int = wfield.KNN):
     jax.jit,
     static_argnames=(
         "tukey_offset", "psi_data", "lambda_reg", "psi_reg",
-        "linear_iter", "cg_tol", "knn_k",
+        "linear_iter", "cg_tol", "knn_k", "nonlinear_iter",
     ),
 )
 def solve(
@@ -150,11 +150,18 @@ def solve(
     linear_iter: int = 256,
     cg_tol: float = 1e-12,
     knn_k: int = wfield.KNN,
+    nonlinear_iter: int = 1,
 ):
     """One warp solve: returns (updated WarpField, SolveStats).
 
-    Equivalent to CombinedSolver::initializeProblemInstance + solveAll
-    (earlyOut path) + copyResultToCPUFromFloat3.
+    Equivalent to CombinedSolver::initializeProblemInstance + solveAll +
+    copyResultToCPUFromFloat3. nonlinear_iter=1 is the earlyOut flow the
+    reference always runs (robust weights frozen from the incoming state);
+    nonlinear_iter>1 is Opt's full schedule — Tukey biweights recomputed
+    from the CURRENT translations before every relinearization
+    (preNonlinearSolve, opt_solver.cpp:131-140), which the reference pays a
+    GPU->CPU->GPU round trip for and here stays on device. Because the
+    energy is linear in t, each iteration is one weighted least squares.
     """
     canonical_v = jnp.asarray(canonical_v, jnp.float32)
     live_v = jnp.asarray(live_v, jnp.float32)
@@ -191,56 +198,67 @@ def solve(
     edge_mask = (wf.mask[:, None] & wf.mask[reg_idx]).astype(jnp.float32)
 
     delta = live_v - canonical_v  # energy data constant
+    A_reg = _dense_reg_normal(reg_idx, edge_mask, D)
 
-    # dense normal equations (see _dense_data_normal for the TPU rationale)
-    A_data, b = _dense_data_normal(canonical_v, data_idx, data_w, s2, delta, D)
-    A = A_data + reg_w2 * _dense_reg_normal(reg_idx, edge_mask, D)
+    def pcg(A, b, t_init):
+        diag = jnp.diagonal(A)
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
 
-    def A_op(t):
-        """Normal-equations operator J^T J t — one small dense matmul."""
-        return _mm(A, t)
+        def precond(r):
+            return inv_diag[:, None] * r
 
-    # Jacobi preconditioner: diag(J^T J)
-    diag = jnp.diagonal(A)
-    inv_diag = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
+        r0 = b - _mm(A, t_init)
+        z0 = precond(r0)
+        rz0 = jnp.vdot(r0, z0)
 
-    # --- Jacobi-PCG on the normal equations (Opt's GN inner loop) ----------
-    def precond(r):
-        return inv_diag[:, None] * r
+        def cond(state):
+            _, r, _, _, rz, i = state
+            return (i < linear_iter) & (rz > cg_tol)
 
-    t0 = jnp.zeros((D, 3), jnp.float32)
-    r0 = b - A_op(t0)
-    z0 = precond(r0)
-    p0 = z0
-    rz0 = jnp.vdot(r0, z0)
+        def body(state):
+            t, r, z, p, rz, i = state
+            ap = _mm(A, p)
+            denom = jnp.vdot(p, ap)
+            alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
+            t = t + alpha * p
+            r = r - alpha * ap
+            z = precond(r)
+            rz_new = jnp.vdot(r, z)
+            beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            p = z + beta * p
+            return (t, r, z, p, rz_new, i + 1)
 
-    def cond(state):
-        _, r, _, _, rz, i = state
-        return (i < linear_iter) & (rz > cg_tol)
+        t, _, _, _, _, iters = jax.lax.while_loop(
+            cond, body, (t_init, r0, z0, z0, rz0, 0)
+        )
+        return t, iters
 
-    def body(state):
-        t, r, z, p, rz, i = state
-        ap = A_op(p)
-        denom = jnp.vdot(p, ap)
-        alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
-        t = t + alpha * p
-        r = r - alpha * ap
-        z = precond(r)
-        rz_new = jnp.vdot(r, z)
-        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-        p = z + beta * p
-        return (t, r, z, p, rz_new, i + 1)
+    def assemble_and_solve(s2_k, t_init):
+        A_data, b = _dense_data_normal(canonical_v, data_idx, data_w, s2_k,
+                                       delta, D)
+        A = A_data + reg_w2 * A_reg
+        t, iters = pcg(A, b, t_init)
+        c0 = jnp.sum(s2_k[:, None] * delta * delta)
+        cost0 = c0  # cost at t=0 under these weights
+        costt = c0 - 2.0 * jnp.vdot(t, b) + jnp.vdot(t, _mm(A, t))
+        return t, iters, cost0, costt
 
-    t, r, _, _, rz, iters = jax.lax.while_loop(cond, body, (t0, r0, z0, p0, rz0, 0))
+    # first (or only) GN iteration: weights from the incoming warp state
+    t, iters, cost0, costt = assemble_and_solve(s2, jnp.zeros((D, 3), jnp.float32))
+    initial_cost = cost0
 
-    # costs for reporting (reportFinalCosts analog): since the energy is
-    # quadratic, cost(t) = c0 - 2 t.b + t.A t with c0 = sum s2 |delta|^2
-    c0 = jnp.sum(s2[:, None] * delta * delta)
+    # Opt's nonlinear schedule: recompute Tukey from the CURRENT estimate
+    # (warped + W t, since the warp is linear in the translations), then
+    # relinearize and solve again starting from the current t.
+    for _ in range(nonlinear_iter - 1):
+        warped_k = warped + jnp.einsum(
+            "nk,nkc->nc", data_w, t[data_idx], precision=_hi
+        )
+        s2_k = tukey_biweights(warped_k, live_v, tukey_offset, psi_data)
+        s2_k = jnp.where(vert_mask, s2_k, 0.0)
+        t, iters, _, costt = assemble_and_solve(s2_k, t)
 
-    def cost(tt):
-        return c0 - 2.0 * jnp.vdot(tt, b) + jnp.vdot(tt, _mm(A, tt))
-
-    stats = SolveStats(cost(t0), cost(t), iters)
+    stats = SolveStats(initial_cost, costt, iters)
 
     t = jnp.where(wf.mask[:, None], t, 0.0)
     return wfield.compose_translations(wf, t), stats

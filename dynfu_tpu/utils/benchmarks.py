@@ -82,6 +82,15 @@ def run_benchmark(
     dt = (time.perf_counter() - t0) / frames
     fps = 1.0 / dt
 
+    # tracking quality at the last throughput frame (before the extra
+    # latency-measurement frames accumulate more motion)
+    wv, wm = engine.warped_cloud()
+    v = np.asarray(wv)[np.asarray(wm)]
+    center = np.asarray((0.004 * (warmup + frames - 1), 0.0, 1.5)) - np.asarray(
+        (-1.5, -1.5, 0.5)
+    )
+    err_mm = float(np.median(np.abs(np.linalg.norm(v - center, axis=-1) - 0.5))) * 1e3
+
     # latency: per-frame wall time including a host sync every frame
     t0 = time.perf_counter()
     for i in range(warmup + frames, warmup + frames + 3):
@@ -89,14 +98,6 @@ def run_benchmark(
         wv, _ = engine.warped_cloud()
         sync(wv)
     latency_ms = (time.perf_counter() - t0) / 3 * 1e3
-
-    # tracking quality on the last frame
-    wv, wm = engine.warped_cloud()
-    v = np.asarray(wv)[np.asarray(wm)]
-    center = np.asarray((0.004 * (warmup + frames - 1), 0.0, 1.5)) - np.asarray(
-        (-1.5, -1.5, 0.5)
-    )
-    err_mm = float(np.median(np.abs(np.linalg.norm(v - center, axis=-1) - 0.5))) * 1e3
 
     return {
         "metric": f"nonrigid_fusion_fps_{volume_dims}cube",

@@ -186,3 +186,28 @@ def test_solve_with_padded_capacity():
     vb = np.asarray(dq.dq_transform_point(wfield.calc_dqb(b, np.asarray(SRC5B, np.float32)),
                                           np.asarray(SRC5B, np.float32)))
     np.testing.assert_allclose(va, vb, atol=1e-5)
+
+
+def test_nonlinear_reweighting_downweights_outliers():
+    """nonlinear_iter > 1 (Opt's full schedule, preNonlinearSolve re-weighting)
+    must not be worse than the earlyOut single pass, and should recover the
+    inlier motion despite corrupted targets."""
+    wf = make_wf(GROUP1)
+    src = np.asarray(SRC5B, np.float32)
+    tgt = np.asarray(TGT5B, np.float32).copy()
+    tgt_bad = tgt.copy()
+    tgt_bad[2] += 0.5  # gross outlier, far beyond the tukey cutoff
+
+    wf1, _ = gn.solve(wf, src, tgt_bad, tukey_offset=TUKEY_OFFSET,
+                      psi_data=PSI_DATA, lambda_reg=0.0, nonlinear_iter=1)
+    wf4, _ = gn.solve(wf, src, tgt_bad, tukey_offset=TUKEY_OFFSET,
+                      psi_data=PSI_DATA, lambda_reg=0.0, nonlinear_iter=4)
+
+    def err(w):
+        blend = wfield.calc_dqb(w, src)
+        warped = np.asarray(dq.dq_transform_point(blend, src))
+        keep = [0, 1, 3, 4]  # inliers
+        return np.abs(warped[keep] - tgt[keep]).max()
+
+    assert err(wf4) <= err(wf1) + 1e-6
+    assert err(wf4) < 2e-3
