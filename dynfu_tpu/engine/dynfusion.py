@@ -119,11 +119,12 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dp", "intr", "config", "strict_parity"),
+    static_argnames=("dp", "intr", "config", "strict_parity", "integrate_mode"),
     donate_argnums=(0,),
 )
 def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
-                    pose, *, dp, intr, config, strict_parity: bool):
+                    pose, *, dp, intr, config, strict_parity: bool,
+                    integrate_mode: str = "separable"):
     """The ENTIRE frame-k non-rigid pipeline as one XLA program:
     dists -> clear+integrate -> marching cubes -> warp canonical -> 1-NN
     correspondence -> GN solve -> node insertion (dyn_fusion.cpp:100-144).
@@ -131,7 +132,12 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     dists = imgproc.compute_dists(depth_mm, intr)
 
     vol = tv.clear(vol)
-    vol = tv.integrate_separable(vol, dists, pose, intr, config)
+    integrate_fn = {
+        "separable": tv.integrate_separable,
+        "rotated": tv.integrate_rotated,
+        "gather": tv.integrate,
+    }[integrate_mode]
+    vol = integrate_fn(vol, dists, pose, intr, config)
 
     mesh_verts, n_verts = marching_cubes(
         vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices
@@ -231,20 +237,55 @@ class DynFusion(KinFu):
             self.frame_counter += 1
             return False
 
-        # pose: identity increment in parity mode (dyn_fusion.cpp:102-105)
-        self.poses.append(self.poses[-1])
+        if self.strict_parity:
+            # pose: identity increment in parity mode (dyn_fusion.cpp:102-105)
+            self.poses.append(self.poses[-1])
+        else:
+            # fixed mode: the rigid ICP the reference stubbed out
+            # ("icp--not being done yet", dyn_fusion.cpp:100-105) — estimate
+            # the camera pose against the previous raycast pyramid
+            _, curr_pyr = self._preprocess(depth_mm)
+            if self.prev_pyr is not None:
+                from dynfu_tpu.rigid import icp as _icp
+
+                (R, t), ok = _icp.estimate_transform(
+                    curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
+                    dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
+                )
+                if bool(ok):
+                    self.poses.append(se3.compose(self.poses[-1], (R, t)))
+                else:
+                    self.poses.append(self.poses[-1])
+            else:
+                self.poses.append(self.poses[-1])
 
         c = self.canonical
+        pose = self.poses[-1]
+        if self._aligned(pose):
+            imode = "separable"
+        elif self._rotation_angle(pose) < self.MAX_HOMOGRAPHY_TILT:
+            imode = "rotated"
+        else:
+            imode = "gather"
         (self.vol, self.warpfield, wv, wn, live_v, live_n, live_m,
          mesh_verts, n_verts, self.last_solve_stats) = _nonrigid_frame(
             self.vol, self.warpfield, c.vertices, c.normals, c.mask,
-            depth_mm, self.poses[-1],
+            depth_mm, pose,
             dp=dp, intr=p.intr, config=self.tsdf_config,
-            strict_parity=self.strict_parity,
+            strict_parity=self.strict_parity, integrate_mode=imode,
         )
         self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
         self.live = Frame(self.frame_counter, live_v, live_n, live_m)
         self.mesh_vertices = (mesh_verts, n_verts)
+
+        if not self.strict_parity:
+            # fixed mode: refresh the rigid-ICP reference pyramid from the
+            # fused model (KinFu::operator() raycast stage)
+            pts, nrm = self._raycast(self.poses[-1])
+            prev = [(pts, nrm)]
+            for _ in range(1, self.levels):
+                prev.append(imgproc.resize_points_normals(*prev[-1]))
+            self.prev_pyr = prev
 
         self.frame_counter += 1
         return True

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     bench = sub.add_parser("bench", help="run the synthetic benchmark")
     bench.add_argument("--volume-dims", type=int, default=128)
     bench.add_argument("--frames", type=int, default=12)
+    bench.add_argument("--rigid", action="store_true",
+                       help="benchmark the rigid kfusion pipeline instead")
 
     synth = sub.add_parser(
         "synth", help="generate a synthetic deforming depth sequence"
@@ -61,9 +63,13 @@ def main(argv=None) -> int:
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache
 
         enable_compilation_cache()
-        from dynfu_tpu.utils.benchmarks import run_benchmark
+        from dynfu_tpu.utils.benchmarks import run_benchmark, run_rigid_benchmark
 
-        result = run_benchmark(volume_dims=args.volume_dims, frames=args.frames)
+        if args.rigid:
+            result = run_rigid_benchmark(volume_dims=args.volume_dims,
+                                         frames=args.frames)
+        else:
+            result = run_benchmark(volume_dims=args.volume_dims, frames=args.frames)
         print(result)
         return 0
     if args.cmd == "synth":

@@ -26,6 +26,64 @@ from dynfu_tpu.utils.timers import sync
 TARGET_FPS = 30.0  # BASELINE.md north-star target
 
 
+def run_rigid_benchmark(
+    volume_dims: int = 512,
+    frames: int = 10,
+    warmup: int = 3,
+    rows: int = 480,
+    cols: int = 640,
+) -> dict:
+    """Rigid kfusion pipeline benchmark (BASELINE config 2): TSDF integrate
+    + raycast + multi-scale point-to-plane ICP on a slowly-moving camera at
+    the reference's rigid defaults (512-cube over 3 m)."""
+    import dataclasses
+
+    from dynfu_tpu.engine.kinfu import KinFu
+
+    intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = dataclasses.replace(
+        KinFuParams.default_params(), rows=rows, cols=cols, intr=intr,
+        volume_dims=(volume_dims,) * 3,
+    )
+    engine = KinFu(params)
+    cx, cy = intr.cx, intr.cy
+
+    scene = [((0.0, 0.0, 1.5), 0.5), ((0.55, 0.35, 1.6), 0.2),
+             ((-0.5, -0.4, 1.7), 0.25)]
+
+    def frame(i):
+        cam_t = np.asarray([0.002 * i, -0.001 * i, 0.003 * i])
+        ds = []
+        for c, r in scene:
+            d = sphere_depth(tuple(np.asarray(c) - cam_t), r, rows, cols,
+                             525.0, 525.0, cx, cy)
+            ds.append(np.where(d == 0, np.iinfo(np.int32).max, d))
+        out = np.stack(ds).min(axis=0)
+        return np.where(out == np.iinfo(np.int32).max, 0, out).astype(np.int32)
+
+    for i in range(warmup):
+        engine(frame(i))
+    sync(engine.prev_pyr[0][0])
+
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + frames):
+        engine(frame(i))
+    sync(engine.prev_pyr[0][0])
+    dt = (time.perf_counter() - t0) / frames
+
+    R, t = engine.get_camera_pose()
+    want = np.asarray([0.002, -0.001, 0.003]) * (warmup + frames - 1)
+    ate_mm = float(np.linalg.norm(np.asarray(t) - want)) * 1e3
+    return {
+        "metric": f"rigid_fusion_fps_{volume_dims}cube",
+        "value": round(1.0 / dt, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(1.0 / dt / TARGET_FPS, 4),
+        "frame_ms": round(dt * 1e3, 1),
+        "ate_mm": round(ate_mm, 2),
+    }
+
+
 def run_benchmark(
     volume_dims: int = 128,
     frames: int = 12,

@@ -163,3 +163,21 @@ def test_dynfusion_solver_stats_exposed():
     df(sphere_depth((CENTER[0] + 0.004, CENTER[1], CENTER[2]), RADIUS))
     s = df.last_solve_stats
     assert float(s.final_cost) <= float(s.initial_cost)
+
+
+def test_dynfusion_fixed_mode_tracks_camera_motion():
+    """strict_parity=False wires the rigid ICP the reference stubbed out:
+    a STATIC object seen from a translating camera must be explained by the
+    pose, leaving the warp field ~identity."""
+    df = DynFusion(small_dynfu_params(), strict_parity=False)
+    for i in range(3):
+        m = np.array([0.003 * i, 0.0, 0.004 * i])
+        df(scene_depth(cam_t=m))
+    R, t = df.get_camera_pose()
+    np.testing.assert_allclose(np.asarray(t), [0.006, 0.0, 0.008], atol=8e-3)
+    # warp field stays near identity: node translations ~ 0
+    from dynfu_tpu.core import dualquat as dqm
+
+    trans = np.asarray(dqm.dq_translation(df.warpfield.dqs))
+    active = np.asarray(df.warpfield.mask)
+    assert np.abs(trans[active]).max() < 0.05
