@@ -97,7 +97,7 @@ def run_benchmark(
     # buffer capacities sized to the isosurface vertex count, which grows
     # ~quadratically with volume resolution
     if volume_dims >= 384:
-        caps = dict(max_vertices=1 << 17, max_mc_voxels=1 << 16,
+        caps = dict(max_vertices=1 << 18, max_mc_voxels=1 << 17,
                     max_nodes=1024, max_new_nodes=512)
     elif volume_dims >= 192:
         caps = dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,

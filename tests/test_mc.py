@@ -115,3 +115,25 @@ def test_capacity_truncation_is_safe():
     verts, n = marching_cubes(vol, cfg, max_voxels=256, max_verts=300)
     assert int(n) <= 300
     assert np.isfinite(np.asarray(verts)).all()
+
+
+def test_hierarchical_compaction_matches_direct():
+    """The large-volume per-column compaction path must produce the same
+    voxel stream as the direct nonzero path (identical order, no overflow
+    on this scene)."""
+    import types
+
+    import dynfu_tpu.mesh.mc as mc_mod
+
+    src = open(mc_mod.__file__).read()
+    patched = src.replace("if n_cells <= (1 << 23):", "if False:")
+    mod = types.ModuleType("mc_forced_hierarchical")
+    mod.__dict__.update(mc_mod.__dict__)
+    exec(compile(patched, "mc_forced_hierarchical", "exec"), mod.__dict__)
+
+    cfg = tv.TsdfConfig(dims=(32, 32, 32), size=(1.0, 1.0, 1.0), trunc_dist=0.08)
+    vol = sphere_volume(cfg, (0.5, 0.5, 0.5), 0.3)
+    v1, n1 = marching_cubes(vol, cfg, max_voxels=1 << 14, max_verts=3 * 20000)
+    v2, n2 = mod.marching_cubes(vol, cfg, max_voxels=1 << 14, max_verts=3 * 20000)
+    assert int(n1) == int(n2)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
