@@ -24,7 +24,6 @@ __graft_entry__.dryrun_multichip.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -32,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dynfu_tpu.core import se3
 from dynfu_tpu.core.camera import Intr
 from dynfu_tpu.ops import imgproc
 from dynfu_tpu.solver import gn

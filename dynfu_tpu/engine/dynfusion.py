@@ -31,7 +31,7 @@ reference scaffolded but never wired (extractNormals exists but is unused;
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -80,18 +80,6 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
     dqs = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0, 0], jnp.float32), (capacity, 1))
     w = jnp.where(mask, dg_w, 1.0)
     return wfield.WarpField(pos, dqs, w, mask, count)
-
-
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def _dedup_points(points, mask, capacity: int):
-    """Collapse duplicate rows (triangle-soup vertices repeat ~4x) so the
-    1-NN table is a fraction of the soup size. Exact: duplicates carry
-    identical coordinates, so the nearest-neighbor POSITION is unchanged.
-    Masked points are sent to +inf, which also serves as the fill row."""
-    pts = jnp.where(mask[:, None], points, jnp.inf)
-    uniq = jnp.unique(pts, axis=0, size=capacity, fill_value=jnp.inf)
-    ok = jnp.isfinite(uniq[:, 0])
-    return jnp.where(ok[:, None], uniq, 0.0), ok
 
 
 def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,

@@ -13,7 +13,6 @@ vs_baseline is measured against the 30 fps/chip target from BASELINE.md
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import numpy as np
 
