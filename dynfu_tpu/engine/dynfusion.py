@@ -108,7 +108,6 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
 @functools.partial(
     jax.jit,
     static_argnames=("dp", "intr", "config", "strict_parity", "integrate_mode"),
-    donate_argnums=(0,),
 )
 def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
                     pose, *, dp, intr, config, strict_parity: bool,

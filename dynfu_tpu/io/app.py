@@ -35,7 +35,12 @@ def run_dataset(
     save_every: int = 1,
     checkpoint_every: int = 0,
     resume: Optional[str] = None,
+    rigid: bool = False,
 ) -> int:
+    if rigid:
+        return run_dataset_rigid(dataset, out_dir=out_dir, max_frames=max_frames,
+                                 volume_dims=volume_dims, export_viz=export_viz,
+                                 save_every=save_every)
     depths, _ = meshio.list_dataset(dataset)
     if max_frames:
         depths = depths[:max_frames]
@@ -93,4 +98,57 @@ def run_dataset(
             from dynfu_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(engine, os.path.join(out_dir, "checkpoint.npz"))
+    return 0
+
+
+def run_dataset_rigid(
+    dataset: str,
+    out_dir: Optional[str] = None,
+    max_frames: int = 0,
+    volume_dims: int = 512,
+    export_viz: bool = False,
+    save_every: int = 5,
+) -> int:
+    """Rigid KinectFusion over a dataset (the kfusion workload): tracks the
+    camera, fuses the volume, exports the mesh + trajectory."""
+    import dataclasses
+
+    from dynfu_tpu.engine.kinfu import KinFu
+    from dynfu_tpu.engine.params import KinFuParams
+
+    depths, _ = meshio.list_dataset(dataset)
+    if max_frames:
+        depths = depths[:max_frames]
+    if not depths:
+        print(f"no depth frames found under {dataset}/depth")
+        return 1
+    out_dir = out_dir or os.path.join(dataset, "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    first = meshio.load_depth_png(depths[0])
+    h, w = first.shape
+    params = dataclasses.replace(
+        KinFuParams.default_params(), rows=h, cols=w,
+        volume_dims=(volume_dims,) * 3,
+    )
+    engine = KinFu(params)
+    sampler = SampledScopeTime()
+    loader = DepthLoader(depths)
+    poses = []
+    for i in range(len(loader)):
+        with sampler:
+            ok = engine(loader[i])
+            sync(engine.prev_pyr[0][0] if engine.prev_pyr else None)
+        R, t = engine.get_camera_pose()
+        poses.append(np.concatenate([np.asarray(R).ravel(), np.asarray(t)]))
+        print(f"frame {i}: {'tracked' if ok else 'bootstrap'}")
+        if export_viz and engine.prev_pyr is not None and i % save_every == 0:
+            meshio.save_image_png(
+                os.path.join(out_dir, f"rigid_render{i}.png"),
+                np.asarray(engine.render(0)),
+            )
+    np.savetxt(os.path.join(out_dir, "trajectory.txt"), np.stack(poses))
+    verts, faces = engine.get_mesh()
+    meshio.save_ply_indexed(os.path.join(out_dir, "rigid_mesh.ply"), verts, faces)
+    print(f"saved trajectory + mesh to {out_dir}")
     return 0

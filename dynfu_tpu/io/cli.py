@@ -25,6 +25,8 @@ def main(argv=None) -> int:
     run.add_argument("--checkpoint-every", type=int, default=0,
                      help="save <out>/checkpoint.npz every N frames")
     run.add_argument("--resume", default=None, help="checkpoint to resume from")
+    run.add_argument("--rigid", action="store_true",
+                     help="run the rigid kfusion pipeline instead of DynFusion")
 
     bench = sub.add_parser("bench", help="run the synthetic benchmark")
     bench.add_argument("--volume-dims", type=int, default=128)
@@ -58,6 +60,7 @@ def main(argv=None) -> int:
             export_viz=args.export_viz,
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,
+            rigid=args.rigid,
         )
     if args.cmd == "bench":
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache

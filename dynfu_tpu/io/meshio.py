@@ -117,6 +117,26 @@ def save_ply(path: str, tri_soup: np.ndarray) -> None:
         )
 
 
+def save_ply_indexed(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """ASCII PLY from an already-indexed (verts, faces) mesh."""
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(faces)}\n"
+            "property list uchar int vertex_indices\nend_header\n"
+        )
+        np.savetxt(f, np.asarray(verts, np.float32), fmt="%.9g")
+        np.savetxt(
+            f,
+            np.concatenate(
+                [np.full((len(faces), 1), 3), np.asarray(faces)], axis=1
+            ),
+            fmt="%d",
+        )
+
+
 def save_depth_png(path: str, depth_mm: np.ndarray) -> None:
     """16-bit depth PNG writer (for the synthetic dataset generator)."""
     from PIL import Image

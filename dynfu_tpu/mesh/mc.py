@@ -123,9 +123,21 @@ def marching_cubes(
                 == zmin[:, None], jnp.int32(cz), zkey)
         cand = jnp.stack(cand, axis=1)  # (XY, K) ascending z or cz sentinel
         cand_valid = cand < cz
-        row_base = (jnp.arange(cand.shape[0], dtype=jnp.int32) * cz)[:, None]
-        cand_idx = jnp.where(cand_valid, row_base + cand, n_cells).reshape(-1)
-        slot = jnp.nonzero(cand_valid.reshape(-1), size=max_voxels,
+
+        # third level: restrict to ACTIVE columns (a surface crosses only a
+        # fraction of them) so the final nonzero runs over max_cols*K
+        # candidates instead of XY*K
+        n_cols = cand.shape[0]
+        max_cols = min(n_cols, max(max_voxels // 2, 1 << 15))
+        col_active = cand_valid[:, 0]
+        col_idx = jnp.nonzero(col_active, size=max_cols, fill_value=n_cols)[0]
+        col_ok = col_idx < n_cols
+        safe_col = jnp.minimum(col_idx, n_cols - 1)
+        cand_a = cand[safe_col]  # (max_cols, K) coherent row gather
+        valid_a = cand_valid[safe_col] & col_ok[:, None]
+        row_base = (safe_col.astype(jnp.int32) * cz)[:, None]
+        cand_idx = jnp.where(valid_a, row_base + cand_a, n_cells).reshape(-1)
+        slot = jnp.nonzero(valid_a.reshape(-1), size=max_voxels,
                            fill_value=cand_idx.shape[0])[0]
         cand_pad = jnp.concatenate(
             [cand_idx, jnp.full((1,), n_cells, jnp.int32)])

@@ -120,7 +120,7 @@ def clear(vol: TsdfVolume) -> TsdfVolume:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intr"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("config", "intr"))
 def integrate(
     vol: TsdfVolume,
     dists: jnp.ndarray,  # (H, W) float16 meters (compute_dists output)
@@ -203,7 +203,7 @@ def integrate(
     return vol._replace(tsdf=tsdf_a, weight=weight_a)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intr"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("config", "intr"))
 def integrate_separable(
     vol: TsdfVolume,
     dists: jnp.ndarray,  # (H, W) float16 meters
@@ -356,7 +356,7 @@ def _vol2cam_rotation_split(vol: TsdfVolume, camera_pose):
     return R_rel, virt
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intr"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("config", "intr"))
 def integrate_rotated(
     vol: TsdfVolume,
     dists: jnp.ndarray,

@@ -126,3 +126,20 @@ def test_render_cloud():
     img = render_cloud(pts, Intr(140.0, 140.0, 63.5, 47.5), shape=(96, 128))
     assert img.shape == (96, 128, 3) and img.dtype == np.uint8
     assert img.max() > img.min()  # something rendered
+
+
+@pytest.mark.slow
+def test_rigid_app_end_to_end(tmp_path):
+    """dynfu run --rigid on a tiny synthetic sequence."""
+    from dynfu_tpu.io.app import run_dataset_rigid
+
+    root = str(tmp_path / "seq")
+    generate_synthetic(root, frames=3, h=96, w=128)
+    # the synthetic generator's camera is fx=525-scaled; regenerate with a
+    # matching small intrinsic via params? run_dataset_rigid probes H,W and
+    # uses default 525 focal — scene visibility is narrow but nonzero.
+    rc = run_dataset_rigid(root, max_frames=3, volume_dims=64, export_viz=False)
+    assert rc == 0
+    out = os.path.join(root, "out")
+    assert "trajectory.txt" in os.listdir(out)
+    assert "rigid_mesh.ply" in os.listdir(out)
