@@ -197,12 +197,13 @@ def marching_cubes(
     # LUT rows: (max_voxels, 15) edge ids (-1 padding) from the fused lookup
     rows = lut_rows[:, 1:16].astype(jnp.int32)  # (M, 15)
     emit = (rows >= 0) & vox_valid[:, None]
-    # per-slot edge select as a masked sum over the 12 edges (gather-free)
-    sel = (rows[:, :, None] == jnp.arange(12, dtype=jnp.int32)[None, None, :])
-    verts = jnp.einsum(
-        "mse,mec->msc", sel.astype(jnp.float32), vertlist,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (M, 15, 3)
+    # per-slot edge select as a masked sum over the 12 edges (gather-free;
+    # unrolled VPU adds — a tiny-inner-dim einsum lowers poorly on TPU)
+    verts = jnp.zeros(rows.shape + (3,), jnp.float32)
+    for e in range(12):
+        verts = verts + jnp.where(
+            (rows == e)[..., None], vertlist[:, None, e, :], 0.0
+        )
 
     # scatter into the output stream at v_offsets + slot
     slot = jnp.arange(15, dtype=jnp.int32)[None, :]
