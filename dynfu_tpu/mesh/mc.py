@@ -97,7 +97,7 @@ def marching_cubes(
     occ_flat = occ.reshape(-1)
     n_cells = occ_flat.shape[0]
 
-    if n_cells <= (1 << 23):
+    if n_cells < (1 << 21):
         # small volumes: direct masked compaction
         vox_idx = jnp.nonzero(occ_flat, size=max_voxels, fill_value=n_cells)[0]
     else:
@@ -109,7 +109,10 @@ def marching_cubes(
         # (columns x K) candidate table. Candidate order (row-major,
         # ascending z) equals the dense scan order, so downstream output
         # is bit-identical whenever no column overflows K.
-        K = 32  # >= band(2*trunc/voxel) per crossing; deeper cells dropped
+        # per-column candidate budget: the occupied band is ~2*trunc/voxel
+        # cells per surface crossing; budget two crossings + margin
+        K = min(64, 4 + 4 * max(1, int(np.ceil(config.trunc_dist
+                                               / config.voxel_size[2]))))
         cz = Z - 1
         rows = occ.reshape(-1, cz)  # (XY, Z-1), z minor
         zkey = jnp.where(rows, jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1),
