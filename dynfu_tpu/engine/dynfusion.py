@@ -281,13 +281,15 @@ class DynFusion(KinFu):
     def render(self, flag: int = 0):
         """Offline render of the current live volume (replaces the
         reference's OpenCV Viz window). Raycasts the fused TSDF from the
-        (identity) camera pose and Phong-shades it."""
+        current camera pose and Phong-shades it."""
         p = self.params
-        pts, nrm = tv.raycast_separable(
-            self.vol, self.poses[-1], p.intr, (p.rows, p.cols), self.tsdf_config
-        )
-        self.prev_pyr = [(pts, nrm)]  # cache for KinFu.render flags
-        return super().render(flag)
+        pts, nrm = self._raycast(self.poses[-1])
+        saved = self.prev_pyr  # fixed mode keeps its ICP reference pyramid
+        self.prev_pyr = [(pts, nrm)]
+        try:
+            return super().render(flag)
+        finally:
+            self.prev_pyr = saved
 
     def get_canonical_warped_to_live(self) -> Frame:
         return self.canonical_warped

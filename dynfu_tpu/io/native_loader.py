@@ -99,8 +99,10 @@ _MAX_PIXELS = 4096 * 4096
 class DepthLoader:
     """Iterates decoded (H, W) int32 mm depth frames with native prefetch.
 
-    Falls back to synchronous PIL decoding when the native library cannot be
-    built, so callers never need to branch.
+    Frames must be consumed roughly IN ORDER (the prefetch ring holds
+    `queue_depth` decoded frames; seeking far backwards blocks). Falls back
+    to synchronous PIL decoding when the native library cannot be built, so
+    callers never need to branch.
     """
 
     def __init__(self, paths: List[str], queue_depth: int = 8, threads: int = 4):

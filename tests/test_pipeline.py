@@ -181,3 +181,16 @@ def test_dynfusion_fixed_mode_tracks_camera_motion():
     trans = np.asarray(dqm.dq_translation(df.warpfield.dqs))
     active = np.asarray(df.warpfield.mask)
     assert np.abs(trans[active]).max() < 0.05
+
+
+def test_fixed_mode_render_preserves_icp_pyramid():
+    """render() must not clobber the rigid-ICP reference pyramid in fixed
+    mode (it previously replaced it with a single-level list)."""
+    df = DynFusion(small_dynfu_params(), strict_parity=False)
+    df(scene_depth())
+    df(scene_depth())
+    img = np.asarray(df.render(0))
+    assert img.shape[0] == H
+    # next frame must still track without error
+    df(scene_depth(cam_t=np.array([0.002, 0.0, 0.002])))
+    assert len(df.prev_pyr) == df.levels
