@@ -22,3 +22,16 @@ behavior (src/dynfu/dyn_fusion.cpp), re-expressed as pure-JAX programs.
 __version__ = "0.1.0"
 
 from dynfu_tpu.engine.params import KinFuParams, DynFuParams, Intr  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy engine imports keep `import dynfu_tpu` light
+    if name == "DynFusion":
+        from dynfu_tpu.engine.dynfusion import DynFusion
+
+        return DynFusion
+    if name == "KinFu":
+        from dynfu_tpu.engine.kinfu import KinFu
+
+        return KinFu
+    raise AttributeError(name)

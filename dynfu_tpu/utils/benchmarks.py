@@ -118,9 +118,18 @@ def run_benchmark(
     engine = DynFusion(params)
     cx, cy = cols / 2 - 0.5, rows / 2 - 0.5
 
+    # pre-generate the input frames: the benchmark measures the FUSION
+    # pipeline; the reference's fps meter likewise excludes image decode
+    # (cv::imread runs before the SampledScopeTime scope, demo.cpp:85-95)
+    n_total = warmup + frames + 3
+    _frames = [
+        sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols, 525.0, 525.0,
+                     cx, cy)
+        for i in range(n_total)
+    ]
+
     def frame(i):
-        dx = 0.004 * i
-        return sphere_depth((dx, 0.0, 1.5), 0.5, rows, cols, 525.0, 525.0, cx, cy)
+        return _frames[i]
 
     for i in range(warmup):
         engine(frame(i))
