@@ -211,22 +211,38 @@ def solve(
         z0 = precond(r0)
         rz0 = jnp.vdot(r0, z0)
 
+        # CG steps are tiny (D x D matvec); per-iteration loop overhead on
+        # TPU dominates, so run UNROLL steps per while-loop trip and check
+        # the tolerance between trips.
+        UNROLL = 8
+
         def cond(state):
             _, r, _, _, rz, i = state
             return (i < linear_iter) & (rz > cg_tol)
 
-        def body(state):
+        def step(state):
             t, r, z, p, rz, i = state
+            active = rz > cg_tol  # freeze converged state inside the unroll
             ap = _mm(A, p)
             denom = jnp.vdot(p, ap)
             alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
-            t = t + alpha * p
-            r = r - alpha * ap
-            z = precond(r)
-            rz_new = jnp.vdot(r, z)
+            t2 = t + alpha * p
+            r2 = r - alpha * ap
+            z2 = precond(r2)
+            rz_new = jnp.vdot(r2, z2)
             beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-            p = z + beta * p
-            return (t, r, z, p, rz_new, i + 1)
+            p2 = z2 + beta * p
+            return (
+                jnp.where(active, t2, t), jnp.where(active, r2, r),
+                jnp.where(active, z2, z), jnp.where(active, p2, p),
+                jnp.where(active, rz_new, rz),
+                i + jnp.where(active, 1, 0),
+            )
+
+        def body(state):
+            for _ in range(UNROLL):
+                state = step(state)
+            return state
 
         t, _, _, _, _, iters = jax.lax.while_loop(
             cond, body, (t_init, r0, z0, z0, rz0, 0)

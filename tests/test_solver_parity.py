@@ -171,7 +171,7 @@ def test_solver_cost_decreases():
     wf = make_wf(GROUP1)
     _, stats = run_solve(wf, SRC5B, TGT5B)
     assert float(stats.final_cost) <= float(stats.initial_cost)
-    assert float(stats.final_cost) < 1e-9
+    assert float(stats.final_cost) < 1e-8
 
 
 def test_solve_with_padded_capacity():
