@@ -76,12 +76,10 @@ def marching_cubes(
             W[dx : dx + X - 1, dy : dy + Y - 1, dz : dz + Z - 1],
         )
 
-    fs = []
     all_weighted = None
     cube = jnp.zeros((X - 1, Y - 1, Z - 1), jnp.int32)
     for i in range(8):
         fi, wi = corner(i)
-        fs.append(fi)
         ok = wi != 0
         all_weighted = ok if all_weighted is None else (all_weighted & ok)
         cube = cube + (fi < 0.0).astype(jnp.int32) * (1 << i)
