@@ -107,12 +107,15 @@ class DynFuParams:
 
     solver: SolverParams = dataclasses.field(default_factory=SolverParams)
 
-    # static capacities (JAX needs fixed shapes; reference used std::vector)
-    max_nodes: int = 4096
-    max_vertices: int = 1 << 18
+    # static capacities (JAX needs fixed shapes; reference used std::vector).
+    # Defaults are sized for the default 128-cube volume, whose isosurface
+    # emits ~10-30k soup vertices; capacities are PAID FOR in every
+    # downstream op, so scale them with the volume (see utils/benchmarks.py)
+    max_nodes: int = 1024
+    max_vertices: int = 1 << 16
     max_triangles: int = 2 << 20  # reference preallocates 6M points (marching_cubes.cpp:23)
-    max_mc_voxels: int = 1 << 17  # occupied-voxel compaction capacity
-    max_new_nodes: int = 1024  # node insertions per warpfield update
+    max_mc_voxels: int = 1 << 14  # occupied-voxel compaction capacity
+    max_new_nodes: int = 256  # node insertions per warpfield update
     max_corr_points: int = 0  # dedup capacity for 1-NN (0 = max_vertices // 2)
 
     @staticmethod
