@@ -127,15 +127,21 @@ class KinFu:
             fn = tv.integrate
         return fn(self.vol, dists, pose, self.params.intr, self.tsdf_config)
 
+    # beyond this tilt, per-pixel rays can leave the +z half-space and the
+    # slab-sweep formulations cannot march them
+    MAX_SWEEP_TILT = 1.1
+
     def _raycast(self, pose):
         p = self.params
+        angle = self._rotation_angle(pose)
         if self._aligned(pose):
             fn = tv.raycast_separable
-        elif (p.raycast_mode == "auto"
-              and self._rotation_angle(pose) < self.MAX_HOMOGRAPHY_TILT):
+        elif p.raycast_mode == "auto" and angle < self.MAX_HOMOGRAPHY_TILT:
             fn = tv.raycast_rotated
-        else:
+        elif angle < self.MAX_SWEEP_TILT:
             fn = tv.raycast
+        else:
+            fn = tv.raycast_march  # any-direction correctness fallback
         return fn(self.vol, pose, p.intr, (p.rows, p.cols), self.tsdf_config)
 
     def __call__(self, depth_mm) -> bool:

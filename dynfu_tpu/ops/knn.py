@@ -146,14 +146,13 @@ def _onehot_fetch(oh_f32: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+@functools.partial(jax.jit, static_argnames=("k",))
 def knn_gather(
     queries: jnp.ndarray,  # (Q, 3)
     points: jnp.ndarray,  # (D, 3)
     k: int,
     table: jnp.ndarray,  # (D, F) features to fetch per neighbor
     point_mask: jnp.ndarray | None = None,
-    block: int | None = None,
 ):
     """Fused k-NN + feature fetch: (idx (Q,k), sqdists (Q,k), feats (Q,k,F)).
 
@@ -264,10 +263,15 @@ def nn1_gather_sorted(
         oh = (iota3[None, :] == j[:, None]).astype(jnp.float32)
         vals = _onehot_fetch(oh, vb)
 
-        # exactness certificate vs the x-ranges outside the window
-        gap_lo = jnp.where(lo > 0, qb[:, 0] - pb[0, 0], jnp.inf)
-        gap_hi = jnp.where(lo + 3 < npb, pb[-1, 0] - qb[:, 0], jnp.inf)
-        gap = jnp.minimum(jnp.abs(gap_lo), jnp.abs(gap_hi))
+        # exactness certificate vs the x-ranges outside the window. A query
+        # lying OUTSIDE the window's x-range has zero margin toward the
+        # excluded side (its negative gap must clamp to 0, not abs to a
+        # false-positive certificate).
+        gap_lo = jnp.where(lo > 0,
+                           jnp.maximum(qb[:, 0] - pb[0, 0], 0.0), jnp.inf)
+        gap_hi = jnp.where(lo + 3 < npb,
+                           jnp.maximum(pb[-1, 0] - qb[:, 0], 0.0), jnp.inf)
+        gap = jnp.minimum(gap_lo, gap_hi)
         exact = dbest <= gap * gap
 
         val_all = jax.lax.dynamic_update_slice_in_dim(val_all, vals, i * block, 0)

@@ -43,6 +43,16 @@ import jax.numpy as jnp
 from dynfu_tpu.core.camera import Intr
 from dynfu_tpu.core import se3
 
+def _chunk_size(Z: int, z_chunk: int) -> int:
+    """Largest chunk <= z_chunk that DIVIDES Z. A non-divisor chunk would
+    make the final dynamic_slice start clamp (XLA semantics) and silently
+    misalign the read/write z-window against the computed coordinates."""
+    c = min(z_chunk, Z)
+    while Z % c:
+        c -= 1
+    return c
+
+
 # geometry matmuls must be exact f32 (TPU MXU defaults to bf16 inputs)
 _hi = jax.lax.Precision.HIGHEST
 _mm = functools.partial(jnp.matmul, precision=_hi)
@@ -156,8 +166,8 @@ def integrate(
     )  # (X, Y, 3)
 
     dists_f = dists.astype(jnp.float32)
-    C = min(config.z_chunk, Z)
-    n_chunks = (Z + C - 1) // C
+    C = _chunk_size(Z, config.z_chunk)
+    n_chunks = Z // C
     zcol = R[:, 2] * vsz  # camera-space step per +z voxel
 
     def body(ci, carry):
@@ -241,8 +251,8 @@ def integrate_separable(
     vcy = jnp.arange(Y, dtype=jnp.float32) * vsy + t[1]  # (Y,)
     dists_f = dists.astype(jnp.float32)
 
-    C = min(config.z_chunk, Z)
-    n_chunks = (Z + C - 1) // C
+    C = _chunk_size(Z, config.z_chunk)
+    n_chunks = Z // C
     iw = jnp.arange(W, dtype=jnp.int32)
     ih = jnp.arange(H, dtype=jnp.int32)
 
@@ -611,7 +621,6 @@ def raycast(
     H, W = shape
     X, Y, Z = config.dims
     vsx, vsy, vsz = config.voxel_size
-    gd = config.gradient_delta_factor  # kept for signature parity; unused
 
     cam2vol = se3.compose(se3.inverse((vol.pose_r, vol.pose_t)), camera_pose)
     R, t = cam2vol
@@ -873,6 +882,96 @@ def raycast_separable(
 
 
 @functools.partial(jax.jit, static_argnames=("config", "intr", "shape"))
+def raycast_march(
+    vol: TsdfVolume,
+    camera_pose: tuple,
+    intr: Intr,
+    shape: Tuple[int, int],
+    config: TsdfConfig,
+):
+    """Arbitrary-direction per-ray march — the correctness fallback.
+
+    Lock-step translation of the reference's TsdfRaycaster loop
+    (tsdf_volume.cu:262-327): fixed-step nearest-voxel march from the ray/box
+    entry, first +/- crossing wins, secant refinement, central-difference
+    normals. Handles ANY pose (including rays with non-positive volume-z,
+    which the slab-sweep paths cannot march) at the cost of big-table
+    element gathers — use only when the sweep/homography paths don't apply.
+    """
+    H, W = shape
+    vs = jnp.asarray(config.voxel_size, jnp.float32)
+    vs_inv = 1.0 / vs
+    dims = jnp.asarray(config.dims, jnp.float32)
+    time_step = config.trunc_dist * config.raycast_step_factor
+    gradient_delta = vs * config.gradient_delta_factor
+    box_max = vs * dims - vs
+
+    cam2vol = se3.compose(se3.inverse((vol.pose_r, vol.pose_t)), camera_pose)
+    R, t = cam2vol
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    d = jnp.stack([
+        jnp.broadcast_to((xs - intr.cx) / intr.fx, (H, W)),
+        jnp.broadcast_to((ys - intr.cy) / intr.fy, (H, W)),
+        jnp.ones((H, W), jnp.float32),
+    ], axis=-1)
+    ray_dir = _mm(d.reshape(-1, 3), R.T).reshape(H, W, 3)
+    ray_dir = ray_dir / jnp.linalg.norm(ray_dir, axis=-1, keepdims=True)
+    ray_org = t
+
+    tmin, tmax = _ray_box(ray_org, ray_dir, box_max)
+    tmin = jnp.maximum(0.0, tmin)
+    tmax = tmax - time_step
+
+    diag = (config.size[0] ** 2 + config.size[1] ** 2 + config.size[2] ** 2) ** 0.5
+    n_steps = int(diag / time_step) + 2
+
+    def fetch(p):
+        return _fetch_nearest(vol.tsdf, p * vs_inv)
+
+    pos0 = ray_org + ray_dir * tmin[..., None]
+    state0 = dict(
+        tcurr=tmin, f_prev=fetch(pos0),
+        active=tmin < tmax,
+        hit=jnp.zeros((H, W), bool), t_hit=jnp.zeros((H, W), jnp.float32),
+    )
+
+    def cond(s):
+        return jnp.any(s["active"])
+
+    def body(s):
+        tnext = s["tcurr"] + time_step
+        f = fetch(ray_org + ray_dir * tnext[..., None])
+        crossing = s["active"] & (s["f_prev"] > 0.0) & (f < 0.0)
+        backface = s["active"] & (s["f_prev"] < 0.0) & (f > 0.0)
+        return dict(
+            tcurr=tnext, f_prev=f,
+            active=s["active"] & ~crossing & ~backface & (tnext < s_tmax),
+            hit=s["hit"] | crossing,
+            t_hit=jnp.where(crossing, s["tcurr"], s["t_hit"]),
+        )
+
+    s_tmax = tmax
+    s = jax.lax.while_loop(cond, body, state0)
+
+    curr = ray_org + ray_dir * s["t_hit"][..., None]
+    nxt = curr + ray_dir * time_step
+    Ft = interpolate(vol.tsdf, curr * vs_inv)
+    Ftdt = interpolate(vol.tsdf, nxt * vs_inv)
+    Ts = s["t_hit"] - time_step * Ft / (Ftdt - Ft)
+    vertex = ray_org + ray_dir * Ts[..., None]
+    normal = _compute_normal(vol.tsdf, vertex, vs_inv, gradient_delta)
+
+    ok = s["hit"] & ~jnp.isnan(jnp.sum(normal, axis=-1))
+    v_cam = _mm((vertex - ray_org).reshape(-1, 3), R).reshape(H, W, 3)
+    n_cam = _mm(normal.reshape(-1, 3), R).reshape(H, W, 3)
+    return (
+        jnp.where(ok[..., None], v_cam, _QNAN),
+        jnp.where(ok[..., None], n_cam, _QNAN),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "intr", "shape"))
 def raycast_depth(vol, camera_pose, intr, shape, config):
     """Depth-map raycast variant (ushort mm, 0 = miss) — tsdf_volume.cu:196-256."""
     points, normals = raycast(vol, camera_pose, intr, shape, config)
@@ -914,6 +1013,13 @@ def extract_cloud(vol: TsdfVolume, config: TsdfConfig, capacity: int = 1 << 18):
             & valid[tuple(sl_hi)]
             & (((F0 > 0) & (F1 < 0)) | ((F0 < 0) & (F1 > 0)))
         )
+        if axis != 2:
+            # parity: FullScan6's z loop stops at dims.z - 2, so +x/+y
+            # crossings in the LAST z layer are never emitted
+            # (tsdf_volume.cu:460)
+            ok = ok & (
+                jax.lax.broadcasted_iota(jnp.int32, ok.shape, 2) < Z - 1
+            )
         shape = ok.shape
         # voxel-center coordinates
         cx = (jnp.arange(shape[0], dtype=jnp.float32) + 0.5)[:, None, None]
@@ -959,7 +1065,6 @@ def extract_normals(
     vs_inv = 1.0 / vs
     gradient_delta = vs * config.gradient_delta_factor
 
-    Rinv = vol.pose_r.T
     p_vol = _mm(points - vol.pose_t, vol.pose_r)  # Rinv * (p - t)
     g = jnp.rint(p_vol * vs_inv).astype(jnp.int32)
     inside = (

@@ -107,3 +107,41 @@ def test_raycast_rotated_normals_rotate():
     R = np.asarray(pose[0])
     world_n = n[ok] @ R.T  # back to world: plane normal ~ (0, 0, -1)
     assert np.median(world_n[:, 2]) < -0.9
+
+
+def test_raycast_march_arbitrary_direction():
+    """The any-direction marcher handles poses the slab sweep cannot
+    (rays with non-positive volume z), matching the sweep where both apply."""
+    c = cfg()
+    vol_pose = (np.eye(3, dtype=np.float32), np.asarray(POSE_T, np.float32))
+    dists = sphere_dists(se3.identity())
+    vol = tv.integrate_separable(tv.create(c, vol_pose), dists, se3.identity(),
+                                 INTR, c)
+    # where both apply: small tilt — compare against the sweep
+    pose = rotated_pose(10.0)
+    p1, _ = tv.raycast(vol, pose, INTR, (H, W), c)
+    p2, _ = tv.raycast_march(vol, pose, INTR, (H, W), c)
+    p1, p2 = np.asarray(p1), np.asarray(p2)
+    both = ~np.isnan(p1[..., 0]) & ~np.isnan(p2[..., 0])
+    assert both.sum() > 0.7 * max((~np.isnan(p1[..., 0])).sum(), 1)
+    err = np.linalg.norm(p1[both] - p2[both], axis=-1)
+    assert np.median(err) < 0.05
+
+    # a pose the sweep CANNOT march: camera past the object looking back
+    # (-z rays). Needs a fully-observed surface, so fill an analytic sphere.
+    x = (np.arange(32) + 0.0) * (1.0 / 32)
+    g = np.stack(np.meshgrid(x, x, x, indexing="ij"), -1)
+    sd = np.linalg.norm(g - np.asarray([0.5, 0.5, 0.5]), axis=-1) - 0.2
+    full = tv.create(c, vol_pose)._replace(
+        tsdf=jnp.asarray(np.clip(sd / c.trunc_dist, -1, 1).astype(np.float16)),
+        weight=jnp.ones((32, 32, 32), jnp.uint8),
+    )
+    R180, _ = se3.from_rodrigues(jnp.asarray([0.0, np.pi, 0.0]), jnp.zeros(3))
+    # world pos of volume center +z: volume z 0.5 -> world 0.6; camera at 1.3
+    back_pose = (R180, jnp.asarray([0.0, 0.0, 1.3], jnp.float32))
+    pm, _ = tv.raycast_march(full, back_pose, INTR, (H, W), c)
+    pm = np.asarray(pm)
+    hit = ~np.isnan(pm[..., 0])
+    assert hit.sum() > 50  # back side visible
+    # hit depth ~ camera_z - (sphere back at world z 0.8) = 0.5
+    assert abs(np.median(pm[..., 2][hit]) - 0.5) < 0.05
