@@ -101,4 +101,15 @@ def load_checkpoint(engine: "DynFusion", path: str) -> "DynFusion":
                 normals=jnp.asarray(z[f"{name}_n"]),
                 mask=jnp.asarray(z[f"{name}_m"]),
             ))
+
+    # derived state: fixed-mode engines track against a raycast reference
+    # pyramid, which is a pure function of the restored volume + pose
+    if not getattr(engine, "strict_parity", True) and engine.frame_counter > 0:
+        from dynfu_tpu.ops import imgproc
+
+        pts, nrm = engine._raycast(engine.poses[-1])
+        prev = [(pts, nrm)]
+        for _ in range(1, engine.levels):
+            prev.append(imgproc.resize_points_normals(*prev[-1]))
+        engine.prev_pyr = prev
     return engine
