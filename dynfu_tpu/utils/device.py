@@ -31,6 +31,28 @@ def print_short_device_info(index: int = 0) -> str:
     return line
 
 
+def print_device_info(index: int = 0) -> str:
+    """Multi-line device report (printCudaDeviceInfo analog, core.cpp:40+)."""
+    import jax
+
+    d = jax.devices()[index]
+    lines = [
+        f"Device {index}: {d.device_kind}",
+        f"  platform:        {d.platform}",
+        f"  process index:   {d.process_index}",
+        f"  id:              {d.id}",
+        f"  visible devices: {device_count()}",
+    ]
+    stats = getattr(d, "memory_stats", lambda: None)()
+    if stats:
+        for k in ("bytes_in_use", "bytes_limit"):
+            if k in stats:
+                lines.append(f"  {k}: {stats[k] / 2**20:.0f} MiB")
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
 def check_platform() -> bool:
     """True when running on an accelerator backend (the moral analog of the
     reference's checkIfPreFermiGPU refusal, core.cpp:31-38: warn-and-continue

@@ -102,3 +102,10 @@ def test_checkpoint_fixed_mode_resumes_tracking(tmp_path):
     df2(scene_depth(cam_t=m))
     _, t = df2.get_camera_pose()
     np.testing.assert_allclose(np.asarray(t), m, atol=8e-3)
+
+
+def test_print_device_info():
+    from dynfu_tpu.utils.device import print_device_info
+
+    out = print_device_info()
+    assert "platform" in out and "visible devices" in out
