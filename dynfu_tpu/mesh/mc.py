@@ -127,17 +127,21 @@ def marching_cubes(
 
         # overflow detection: a column with more than K occupied cells (a
         # surface running parallel to z) loses its deepest cells — warn
-        # rather than silently diverge from the dense path
-        n_overflow = jnp.sum((zkey < cz).any(axis=1))
-        jax.lax.cond(
-            n_overflow > 0,
-            lambda n: jax.debug.print(
-                "marching_cubes: {n} z-columns exceeded the per-column "
-                "candidate budget K={k}; deepest cells dropped", n=n, k=K
-            ),
-            lambda n: None,
-            n_overflow,
-        )
+        # rather than silently diverge from the dense path. The warning is a
+        # host callback, which the axon TPU runtime does not implement
+        # (UNIMPLEMENTED: host send/recv) — emit it only on backends that
+        # support callbacks; the trace-time gate keeps TPU programs clean.
+        if jax.default_backend() == "cpu":
+            n_overflow = jnp.sum((zkey < cz).any(axis=1))
+            jax.lax.cond(
+                n_overflow > 0,
+                lambda n: jax.debug.print(
+                    "marching_cubes: {n} z-columns exceeded the per-column "
+                    "candidate budget K={k}; deepest cells dropped", n=n, k=K
+                ),
+                lambda n: None,
+                n_overflow,
+            )
 
         # third level: restrict to ACTIVE columns (a surface crosses only a
         # fraction of them) so the final nonzero runs over max_cols*K
