@@ -138,3 +138,36 @@ def test_hierarchical_compaction_matches_direct():
     v2, n2 = mod.marching_cubes(vol, cfg, max_voxels=1 << 14, max_verts=3 * 20000)
     assert int(n1) == int(n2)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+def test_no_ungated_host_callbacks_in_library():
+    """The axon TPU runtime does not implement host send/recv callbacks:
+    any jax.debug.print / io_callback / pure_callback traced into a TPU
+    program dies with UNIMPLEMENTED at run time (this killed the 512-cube
+    bench once). Library code may only use them behind an explicit
+    `jax.default_backend() == "cpu"` trace-time gate."""
+    import os
+    import re
+
+    import dynfu_tpu
+
+    root = os.path.dirname(dynfu_tpu.__file__)
+    pat = re.compile(r"debug\.print|io_callback|pure_callback|debug\.callback")
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            lines = open(path).read().splitlines()
+            for i, line in enumerate(lines):
+                if not pat.search(line):
+                    continue
+                # gated iff a cpu-backend check appears within the
+                # 10 preceding lines (the trace-time platform gate)
+                ctx = "\n".join(lines[max(0, i - 10):i])
+                if 'default_backend() == "cpu"' not in ctx:
+                    offenders.append(f"{path}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "host callbacks without a cpu-backend gate (axon TPU cannot run "
+        "them):\n" + "\n".join(offenders))
