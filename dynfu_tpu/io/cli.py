@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     bench.add_argument("--frames", type=int, default=12)
     bench.add_argument("--rigid", action="store_true",
                        help="benchmark the rigid kfusion pipeline instead")
+    bench.add_argument("--stages", action="store_true",
+                       help="report per-stage ms (profiling breakdown) "
+                            "instead of end-to-end fps")
 
     synth = sub.add_parser(
         "synth", help="generate a synthetic deforming depth sequence"
@@ -66,9 +69,12 @@ def main(argv=None) -> int:
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache
 
         enable_compilation_cache()
-        from dynfu_tpu.utils.benchmarks import run_benchmark, run_rigid_benchmark
+        from dynfu_tpu.utils.benchmarks import (
+            run_benchmark, run_rigid_benchmark, run_stage_benchmark)
 
-        if args.rigid:
+        if args.stages:
+            result = run_stage_benchmark(volume_dims=args.volume_dims)
+        elif args.rigid:
             result = run_rigid_benchmark(volume_dims=args.volume_dims,
                                          frames=args.frames)
         else:

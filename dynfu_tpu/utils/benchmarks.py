@@ -83,6 +83,19 @@ def run_rigid_benchmark(
     }
 
 
+def _caps_for(volume_dims: int) -> dict:
+    """Buffer capacities sized to the isosurface vertex count, which grows
+    ~quadratically with volume resolution."""
+    if volume_dims >= 384:
+        return dict(max_vertices=1 << 18, max_mc_voxels=1 << 17,
+                    max_nodes=1024, max_new_nodes=512)
+    if volume_dims >= 192:
+        return dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,
+                    max_nodes=512, max_new_nodes=256)
+    return dict(max_vertices=1 << 15, max_mc_voxels=1 << 13,
+                max_nodes=256, max_new_nodes=128)
+
+
 def run_benchmark(
     volume_dims: int = 128,
     frames: int = 12,
@@ -93,17 +106,7 @@ def run_benchmark(
     max_vertices: int = 0,
 ) -> dict:
     intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
-    # buffer capacities sized to the isosurface vertex count, which grows
-    # ~quadratically with volume resolution
-    if volume_dims >= 384:
-        caps = dict(max_vertices=1 << 18, max_mc_voxels=1 << 17,
-                    max_nodes=1024, max_new_nodes=512)
-    elif volume_dims >= 192:
-        caps = dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,
-                    max_nodes=512, max_new_nodes=256)
-    else:
-        caps = dict(max_vertices=1 << 15, max_mc_voxels=1 << 13,
-                    max_nodes=256, max_new_nodes=128)
+    caps = _caps_for(volume_dims)
     if max_nodes:
         caps["max_nodes"] = max_nodes
     if max_vertices:
@@ -173,4 +176,98 @@ def run_benchmark(
         "frame_ms": round(dt * 1e3, 1),
         "latency_ms": round(latency_ms, 1),
         "median_vertex_err_mm": round(err_mm, 3),
+    }
+
+
+def run_stage_benchmark(
+    volume_dims: int = 128,
+    iters: int = 10,
+    rows: int = 480,
+    cols: int = 640,
+    warmup_frames: int = 3,
+) -> dict:
+    """Per-stage wall times of the non-rigid frame, in milliseconds.
+
+    Runs a few real engine frames to build representative state, then times
+    each pipeline stage in isolation (each is an already-jitted library
+    entry point) with a host-readback sync, amortized over `iters` calls.
+    The per-stage sum exceeds the fused frame time — `_nonrigid_frame`
+    compiles everything into ONE program where XLA overlaps stages and skips
+    per-stage dispatch — so read these as relative magnitudes for
+    optimization targeting (ROADMAP "per-stage gap analysis"), not as an
+    additive decomposition.
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from dynfu_tpu.engine import dynfusion as dyn
+    from dynfu_tpu.io.datasets import sphere_depth
+    from dynfu_tpu.mesh.mc import marching_cubes
+    from dynfu_tpu.ops import imgproc, knn
+    from dynfu_tpu.solver import gn
+    from dynfu_tpu.volume import tsdf as tv
+    from dynfu_tpu.warp import field as wfield
+
+    intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(volume_dims,) * 3),
+        **_caps_for(volume_dims),
+    )
+    engine = DynFusion(params)
+    cx, cy = cols / 2 - 0.5, rows / 2 - 0.5
+    for i in range(warmup_frames):
+        engine(sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols,
+                            525.0, 525.0, cx, cy))
+    depth = jnp.asarray(
+        sphere_depth((0.004 * warmup_frames, 0.0, 1.5), 0.5, rows, cols,
+                     525.0, 525.0, cx, cy), jnp.int32)
+
+    dp = engine.dynfu_params
+    config = engine.tsdf_config
+    vol, wf, c, pose = engine.vol, engine.warpfield, engine.canonical, engine.poses[-1]
+
+    stages: dict[str, float] = {}
+
+    def clock(name, fn):
+        out = fn()  # compile + warm
+        sync(jtu.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        sync(jtu.tree_leaves(out)[0])
+        stages[name] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+        return out
+
+    dists = clock("preprocess_dists", lambda: imgproc.compute_dists(depth, intr))
+    vol2 = clock("clear_integrate", lambda: tv.integrate_separable(
+        tv.clear(vol), dists, pose, intr, config))
+    verts, n_verts = clock("marching_cubes", lambda: marching_cubes(
+        vol2, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices))
+    live_m = jnp.arange(verts.shape[0]) < n_verts
+    wv, wn = clock("warp_canonical", lambda: wfield.warp_points_normals(
+        wf, c.vertices, c.normals))
+    corr, exact = clock("correspondence_1nn", lambda: knn.nn1_gather_sorted(
+        verts, wv, wv, c.mask))
+    corr_m = live_m & exact
+    clock("gn_solve", lambda: gn.solve(
+        wf, corr, verts, vert_mask=corr_m,
+        tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+        lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
+        linear_iter=dp.solver.linear_iter, knn_k=dp.knn))
+    clock("node_insertion", lambda: wfield.update_warpfield(
+        wf, wv, c.mask, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes))
+    clock("fused_full_frame", lambda: dyn._nonrigid_frame(
+        vol, wf, c.vertices, c.normals, c.mask, depth, pose,
+        dp=dp, intr=intr, config=config, strict_parity=True,
+        integrate_mode="separable"))
+
+    return {
+        "metric": f"nonrigid_stage_ms_{volume_dims}cube",
+        "value": stages["fused_full_frame"],
+        "unit": "ms/frame",
+        "vs_baseline": round(1e3 / stages["fused_full_frame"] / TARGET_FPS, 4),
+        "stages_ms": stages,
+        "n_mesh_verts": int(n_verts),
     }

@@ -109,3 +109,17 @@ def test_print_device_info():
 
     out = print_device_info()
     assert "platform" in out and "visible devices" in out
+
+
+def test_stage_benchmark_smoke():
+    """run_stage_benchmark produces a timing for every pipeline stage."""
+    from dynfu_tpu.utils import benchmarks
+
+    r = benchmarks.run_stage_benchmark(volume_dims=64, iters=1,
+                                       rows=96, cols=128, warmup_frames=2)
+    expected = {"preprocess_dists", "clear_integrate", "marching_cubes",
+                "warp_canonical", "correspondence_1nn", "gn_solve",
+                "node_insertion", "fused_full_frame"}
+    assert expected <= set(r["stages_ms"])
+    assert all(v >= 0 for v in r["stages_ms"].values())
+    assert r["n_mesh_verts"] > 0
