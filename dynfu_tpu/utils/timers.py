@@ -18,10 +18,17 @@ import numpy as np
 
 
 def sync(*arrays) -> None:
-    """Force completion of device work feeding `arrays` (tiny readback)."""
+    """Force completion of device work feeding `arrays` (tiny readback).
+
+    The readback must be ONE element, not the array: `np.asarray(big)` drags
+    the whole buffer through the host tunnel (~10 MB/s here — a 512-cube
+    TSDF volume costs ~30 s, which once masqueraded as a 100x kernel
+    regression). Slice to a single element ON DEVICE first; reading that
+    4-byte result back still orders after the producing computation."""
     for a in arrays:
         try:
-            np.asarray(a).ravel()[:1]
+            first = a.ravel()[:1] if hasattr(a, "ravel") else a
+            np.asarray(first).ravel()[:1]
         except TypeError:
             pass
 
