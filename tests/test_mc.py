@@ -126,7 +126,7 @@ def test_hierarchical_compaction_matches_direct():
     import dynfu_tpu.mesh.mc as mc_mod
 
     src = open(mc_mod.__file__).read()
-    patched = src.replace("if n_cells < (1 << 21):", "if False:")
+    patched = src.replace("if n_cells < (1 << 18):", "if False:")
     assert patched != src, "hierarchical-path guard string changed; update test"
     mod = types.ModuleType("mc_forced_hierarchical")
     mod.__dict__.update(mc_mod.__dict__)
