@@ -230,13 +230,18 @@ def run_stage_benchmark(
 
     stages: dict[str, float] = {}
 
+    def probe(out):
+        # smallest output leaf: available only at program completion, and
+        # tiny enough that the readback doesn't measure tunnel bandwidth
+        return min(jtu.tree_leaves(out), key=lambda x: getattr(x, "size", 1 << 62))
+
     def clock(name, fn):
         out = fn()  # compile + warm
-        sync(jtu.tree_leaves(out)[0])
+        sync(probe(out))
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        sync(jtu.tree_leaves(out)[0])
+        sync(probe(out))
         stages[name] = round((time.perf_counter() - t0) / iters * 1e3, 2)
         return out
 

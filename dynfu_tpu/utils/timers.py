@@ -18,17 +18,20 @@ import numpy as np
 
 
 def sync(*arrays) -> None:
-    """Force completion of device work feeding `arrays` (tiny readback).
+    """Force completion of device work feeding `arrays` (host readback).
 
-    The readback must be ONE element, not the array: `np.asarray(big)` drags
-    the whole buffer through the host tunnel (~10 MB/s here — a 512-cube
-    TSDF volume costs ~30 s, which once masqueraded as a 100x kernel
-    regression). Slice to a single element ON DEVICE first; reading that
-    4-byte result back still orders after the producing computation."""
+    Reads back the WHOLE argument, so sync on a SMALL array: the host
+    tunnel moves ~10 MB/s, and syncing on a 512-cube TSDF volume costs
+    ~30 s (this once masqueraded as a 100x kernel regression in stage
+    profiles). Every output of a jitted program becomes available only at
+    program completion, so syncing on the smallest output leaf — a pose, a
+    count, solver stats — orders after the full computation. Do NOT
+    "optimize" this with an eager on-device slice (`a.ravel()[:1]`): the
+    axon runtime intermittently never completes the readback of eager-op
+    results behind a deep async queue, hanging the process."""
     for a in arrays:
         try:
-            first = a.ravel()[:1] if hasattr(a, "ravel") else a
-            np.asarray(first).ravel()[:1]
+            np.asarray(a).ravel()[:1]
         except TypeError:
             pass
 
