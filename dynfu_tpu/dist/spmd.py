@@ -115,6 +115,6 @@ def sharded_fusion_step(
         vol_sharding,
         wf_sharding,
         rows,
-        jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0)),
+        jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0, 0)),
     )
     return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)

@@ -56,6 +56,20 @@ class Frame(NamedTuple):
     mask: jnp.ndarray  # (N,)
 
 
+class FrameStats(NamedTuple):
+    """Per-frame observability scalars, all computed inside the fused
+    program (no host callbacks — the axon TPU runtime has none).
+
+    mc_dropped: occupied marching-cubes cells not meshed (capacity
+    overflow); corr_dropped: live vertices whose 1-NN window-exactness
+    certificate failed and were masked out of the data term. Both should be
+    0 on a healthy run — the benchmarks assert it."""
+
+    solve: gn.SolveStats
+    mc_dropped: jnp.ndarray  # () int32
+    corr_dropped: jnp.ndarray  # () int32
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "step", "dg_w"))
 def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
     """Every `step`-th valid vertex becomes a node with identity DQ
@@ -83,25 +97,29 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
 
 
 def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
-                    live_mask, capacity: int, parity: bool):
+                    live_mask, parity: bool):
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
 
-    Uses the sort-windowed fused 1-NN (ops.knn.nn1_gather_sorted) at a
-    fraction of the brute-force distance-matrix traffic. Queries whose
+    Uses the x-windowed fused 1-NN (ops.knn.nn1_gather_xwindow): live
+    vertices arrive nearly x-sorted from marching cubes' x-major emission,
+    so only the point set is sorted and the distance pass is windowed
+    elementwise work instead of a brute-force distance matrix. Queries whose
     window-exactness certificate fails (dense x-slabs, e.g. sphere pole
     caps, can shrink the window below the NN radius) are MASKED OUT of the
     returned correspondence instead of contributing a possibly-wrong pair —
-    the robust data term loses a few samples rather than gaining outliers.
-    In parity mode normals are the placeholder vertex copy, so only
-    positions are fetched."""
+    the robust data term loses a few samples rather than gaining outliers
+    (counted in FrameStats.corr_dropped). In parity mode normals are the
+    placeholder vertex copy, so only positions are fetched."""
     if parity:
-        out, exact = knn.nn1_gather_sorted(
-            live_verts, warped_verts, warped_verts, warped_mask
+        out, exact = knn.nn1_gather_xwindow(
+            live_verts, warped_verts, None, warped_mask, live_mask
         )
         return out, out, live_mask & exact
     vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
-    out, exact = knn.nn1_gather_sorted(live_verts, warped_verts, vals, warped_mask)
+    out, exact = knn.nn1_gather_xwindow(
+        live_verts, warped_verts, vals, warped_mask, live_mask
+    )
     return out[:, :3], out[:, 3:], live_mask & exact
 
 
@@ -126,7 +144,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     }[integrate_mode]
     vol = integrate_fn(vol, dists, pose, intr, config)
 
-    mesh_verts, n_verts = marching_cubes(
+    mesh_verts, n_verts, mc_dropped = marching_cubes(
         vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices
     )
     live_m = jnp.arange(mesh_verts.shape[0]) < n_verts
@@ -139,22 +157,27 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # warp canonical -> live with the PRE-solve field (dyn_fusion.cpp:203)
     wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
 
-    cap = dp.max_corr_points or (dp.max_vertices // 2)
     corr_v, corr_n, corr_m = _correspondence(
-        wv, wn, canonical_m, live_v, live_m, cap, strict_parity
+        wv, wn, canonical_m, live_v, live_m, strict_parity
     )
 
-    wf, stats = gn.solve(
+    # full reference schedule (dyn_fusion.cpp:183-189): numIter=24 outer /
+    # nonLinearIter=16 inner / linearIter=256, earlyOut
+    wf, solve_stats = gn.solve(
         wf, corr_v, live_v, vert_mask=corr_m & live_m,
         tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
         lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
         linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+        nonlinear_iter=dp.solver.nonlinear_iter,
+        num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
     )
 
     # node insertion from the warped canonical frame (dyn_fusion.cpp:142)
     wf = wfield.update_warpfield(
         wf, wv, canonical_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes
     )
+    corr_dropped = jnp.sum((live_m & ~corr_m).astype(jnp.int32))
+    stats = FrameStats(solve_stats, mc_dropped, corr_dropped)
     return vol, wf, wv, wn, live_v, live_n, live_m, mesh_verts, n_verts, stats
 
 
@@ -170,6 +193,8 @@ class DynFusion(KinFu):
         self.canonical_warped: Optional[Frame] = None
         self.live: Optional[Frame] = None
         self.mesh_vertices = None  # last MC triangle soup (buffer, count)
+        self.last_frame_stats: Optional[FrameStats] = None
+        self.last_solve_stats: Optional[gn.SolveStats] = None
 
     # -- helpers ------------------------------------------------------------
     def _mc_frame(self, idx: int) -> Frame:
@@ -177,7 +202,7 @@ class DynFusion(KinFu):
         copy of the vertices in parity mode (pcl::copyPointCloud workaround,
         dyn_fusion.cpp:80-88,126-134); real TSDF-gradient normals otherwise."""
         dp = self.dynfu_params
-        verts, n_verts = marching_cubes(
+        verts, n_verts, _ = marching_cubes(
             self.vol, self.tsdf_config,
             max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
         )
@@ -255,7 +280,7 @@ class DynFusion(KinFu):
         else:
             imode = "gather"
         (self.vol, self.warpfield, wv, wn, live_v, live_n, live_m,
-         mesh_verts, n_verts, self.last_solve_stats) = _nonrigid_frame(
+         mesh_verts, n_verts, self.last_frame_stats) = _nonrigid_frame(
             self.vol, self.warpfield, c.vertices, c.normals, c.mask,
             depth_mm, pose,
             dp=dp, intr=p.intr, config=self.tsdf_config,
@@ -264,6 +289,7 @@ class DynFusion(KinFu):
         self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
         self.live = Frame(self.frame_counter, live_v, live_n, live_m)
         self.mesh_vertices = (mesh_verts, n_verts)
+        self.last_solve_stats = self.last_frame_stats.solve
 
         if not self.strict_parity:
             # fixed mode: refresh the rigid-ICP reference pyramid from the

@@ -193,8 +193,8 @@ class KinFu:
         from dynfu_tpu.mesh import marching_cubes
         from dynfu_tpu.mesh.mc import mesh_to_world
 
-        verts, n = marching_cubes(self.vol, self.tsdf_config,
-                                  max_voxels=max_voxels, max_verts=max_verts)
+        verts, n, _ = marching_cubes(self.vol, self.tsdf_config,
+                                     max_voxels=max_voxels, max_verts=max_verts)
         soup = mesh_to_world(verts, self.vol)
         return _soup_to_indexed(np.asarray(soup)[: int(n)])
 

@@ -116,7 +116,6 @@ class DynFuParams:
     max_triangles: int = 2 << 20  # reference preallocates 6M points (marching_cubes.cpp:23)
     max_mc_voxels: int = 1 << 14  # occupied-voxel compaction capacity
     max_new_nodes: int = 256  # node insertions per warpfield update
-    max_corr_points: int = 0  # dedup capacity for 1-NN (0 = max_vertices // 2)
 
     @staticmethod
     def default_params() -> "DynFuParams":

@@ -294,6 +294,136 @@ def nn1_gather_sorted(
     return vals, exact
 
 
+@functools.partial(jax.jit, static_argnames=("block", "window_blocks"))
+def nn1_gather_xwindow(
+    queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (e.g. marching-cubes
+    #                         emission order); sortedness affects only how
+    #                         many certificates pass, never correctness
+    points: jnp.ndarray,  # (P, 3)
+    values: jnp.ndarray | None = None,  # (P, F); None fetches the points
+    point_mask: jnp.ndarray | None = None,
+    query_mask: jnp.ndarray | None = None,
+    block: int = 4096,
+    window_blocks: int = 3,
+):
+    """Windowed 1-NN + fetch for near-coincident surfaces: (vals, exact).
+
+    The successor of `nn1_gather_sorted` tuned on the v5e (scripts/
+    ubench_corr.py): at the 512-cube workload (Q=P=262k) the round-1
+    formulation spent ~72 ms in a K-padded-to-128 HIGHEST distance matmul
+    and ~27 ms in three payload sorts; this version
+      * computes window distances with unrolled elementwise broadcasts
+        (the K=3 contraction wastes 125/128 of the MXU; the VPU form is
+        2.4x faster and exact),
+      * sorts ONLY the points along x (queries arrive nearly sorted from
+        marching cubes' x-major emission; results are written back in
+        query order, so the query sort AND the un-sort disappear),
+      * keeps the one-hot bf16 value fetch and the per-query exactness
+        certificate of `nn1_gather_sorted` (see there for the proof; a
+        query whose window cannot be certified reports exact=False and
+        must be masked by the caller — the engine counts these drops in
+        FrameStats.corr_dropped).
+    """
+    Q = queries.shape[0]
+    P = points.shape[0]
+    vals_in = points if values is None else values
+    F = vals_in.shape[1]
+    W = window_blocks * block
+    BIG = jnp.float32(3e38)
+
+    if point_mask is not None:
+        valid_p_in = point_mask
+    else:
+        valid_p_in = jnp.ones((P,), bool)
+    # cancellation control (see nn1_gather): center on the valid cloud
+    denom = jnp.maximum(jnp.sum(valid_p_in.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(valid_p_in[:, None], points, 0.0), axis=0) / denom
+    queries = queries - center
+    points = points - center
+
+    pts = jnp.where(valid_p_in[:, None], points, BIG)
+    qs = queries
+    if query_mask is not None:
+        qs = jnp.where(query_mask[:, None], qs, BIG)
+
+    # sort points by x, carrying y/z (+ explicit value columns if any)
+    if values is None:
+        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2])
+    else:
+        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
+            values[:, f] for f in range(F)
+        )
+    p_sorted = jax.lax.sort(p_ops, num_keys=1)
+    ps = jnp.stack(p_sorted[:3], axis=1)  # (P, 3)
+    if values is None:
+        # fetched values are the (centered) sorted coordinates; un-center after
+        vs = ps
+    else:
+        vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
+
+    padq = (-Q) % block
+    qs = jnp.pad(qs, ((0, padq), (0, 0)), constant_values=BIG)
+    nqb = qs.shape[0] // block
+    padp = max(W, ((P + block - 1) // block) * block) - P
+    ps = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=BIG)
+    vs = jnp.pad(vs, ((0, padp), (0, 0)))
+    npb = ps.shape[0] // block
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    block_x0 = ps[::block, 0]  # (npb,) window aligned by VALUE, not rank
+
+    def one(i, carry):
+        val_all, dist_all, exact_all = carry
+        qb = jax.lax.dynamic_slice_in_dim(qs, i * block, block, 0)
+        valid_q = qb[:, 0] < 1e37
+        nq = jnp.maximum(jnp.sum(valid_q.astype(jnp.float32)), 1.0)
+        qmid = jnp.sum(jnp.where(valid_q, qb[:, 0], 0.0)) / nq
+        c = jnp.clip(
+            jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1, 0, npb - 1
+        )
+        lo = jnp.clip(c - (window_blocks - 1) // 2, 0,
+                      jnp.maximum(npb - window_blocks, 0))
+        pb = jax.lax.dynamic_slice_in_dim(ps, lo * block, W, 0)
+        vb = jax.lax.dynamic_slice_in_dim(vs, lo * block, W, 0)
+
+        valid_p = pb[:, 0] < 1e37
+        pbz = jnp.where(valid_p[:, None], pb, 0.0)
+        # unrolled elementwise distances (no matmul: K=3 pads to 128 lanes
+        # and HIGHEST multiplies the pass count)
+        dx = qb[:, 0:1] - pbz[None, :, 0].reshape(1, W)
+        dy = qb[:, 1:2] - pbz[None, :, 1].reshape(1, W)
+        dz = qb[:, 2:3] - pbz[None, :, 2].reshape(1, W)
+        d = dx * dx + dy * dy + dz * dz
+        d = jnp.where(valid_p[None, :], d, _INF)
+        j = jnp.argmin(d, axis=-1)
+        dbest = jnp.min(d, axis=-1)
+        oh = (iota_w[None, :] == j[:, None]).astype(jnp.float32)
+        vals = _onehot_fetch(oh, vb)
+
+        # exactness certificate vs the x-ranges outside the window (same
+        # argument as nn1_gather_sorted: any excluded point is at least
+        # the x-gap away; negative gaps clamp to 0)
+        gap_lo = jnp.where(lo > 0,
+                           jnp.maximum(qb[:, 0] - pb[0, 0], 0.0), jnp.inf)
+        gap_hi = jnp.where(lo + window_blocks < npb,
+                           jnp.maximum(pb[-1, 0] - qb[:, 0], 0.0), jnp.inf)
+        gap = jnp.minimum(gap_lo, gap_hi)
+        exact = (dbest <= gap * gap) & valid_q
+
+        val_all = jax.lax.dynamic_update_slice_in_dim(val_all, vals, i * block, 0)
+        dist_all = jax.lax.dynamic_update_slice_in_dim(dist_all, dbest, i * block, 0)
+        exact_all = jax.lax.dynamic_update_slice_in_dim(exact_all, exact, i * block, 0)
+        return val_all, dist_all, exact_all
+
+    val0 = jnp.zeros((nqb * block, F), jnp.float32)
+    d0 = jnp.zeros((nqb * block,), jnp.float32)
+    ex0 = jnp.zeros((nqb * block,), bool)
+    val_s, dist_s, ex_s = jax.lax.fori_loop(0, nqb, one, (val0, d0, ex0))
+    vals = val_s[:Q]
+    if values is None:
+        vals = vals + center[None, :]  # un-center fetched coordinates
+    return vals, ex_s[:Q]
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def nn1_gather(
     queries: jnp.ndarray,  # (Q, 3)

@@ -43,6 +43,12 @@ class SolveStats(NamedTuple):
     initial_cost: jnp.ndarray
     final_cost: jnp.ndarray
     cg_iters: jnp.ndarray
+    # mean Huber weight over active nodes, recomputed each outer iteration
+    # (CombinedSolver::updateHuberWeights, opt_solver.cpp:233-268). The
+    # reference uploads these to Opt every preNonlinearSolve but the energy
+    # never reads them (energy.t declares huberWeights unused); we mirror
+    # that: computed on schedule, observable in stats, not applied to terms.
+    mean_huber: jnp.ndarray
 
 
 def tukey_biweights(warped_canonical, live, tukey_offset: float, psi_data: float):
@@ -135,6 +141,7 @@ def build_graphs(wf: wfield.WarpField, canonical_v, knn_k: int = wfield.KNN):
     static_argnames=(
         "tukey_offset", "psi_data", "lambda_reg", "psi_reg",
         "linear_iter", "cg_tol", "knn_k", "nonlinear_iter",
+        "num_iter", "early_out",
     ),
 )
 def solve(
@@ -150,18 +157,34 @@ def solve(
     linear_iter: int = 256,
     cg_tol: float = 1e-12,
     knn_k: int = wfield.KNN,
-    nonlinear_iter: int = 1,
+    nonlinear_iter: int = 16,
+    num_iter: int = 24,
+    early_out: bool = True,
 ):
     """One warp solve: returns (updated WarpField, SolveStats).
 
     Equivalent to CombinedSolver::initializeProblemInstance + solveAll +
-    copyResultToCPUFromFloat3. nonlinear_iter=1 is the earlyOut flow the
-    reference always runs (robust weights frozen from the incoming state);
-    nonlinear_iter>1 is Opt's full schedule — Tukey biweights recomputed
-    from the CURRENT translations before every relinearization
-    (preNonlinearSolve, opt_solver.cpp:131-140), which the reference pays a
-    GPU->CPU->GPU round trip for and here stays on device. Because the
-    energy is linear in t, each iteration is one weighted least squares.
+    copyResultToCPUFromFloat3, with the Opt harness's exact schedule
+    (dyn_fusion.cpp:183-189: numIter=24, nonLinearIter=16, linearIter=256,
+    earlyOut=true):
+
+    * OUTER loop (`num_iter`): Opt's CombinedSolverBase::singleSolve —
+      before each outer iteration preNonlinearSolve recomputes the Tukey
+      biweights (and the energy-unused Huber weights) from the CURRENT
+      composed warp state (opt_solver.cpp:131-140, 204-268; the reference
+      pays a GPU->CPU->GPU bounce for this, here it stays on device).
+      With `early_out` the harness BREAKS after the first outer iteration
+      (the reference's only exercised mode), so outer iterations 2..24
+      never run upstream either.
+    * INNER loop (`nonlinear_iter`): Opt's GN relinearizations with the
+      robust weights FROZEN (they are Opt problem parameters, refreshed
+      only by preNonlinearSolve). The energy is linear in the per-node
+      translations — rotations are declared but appear in no term
+      (energy.t:30,78) — so each inner step re-solves the SAME normal
+      equations warm-started from the previous estimate: step 1 converges
+      to CG tolerance and steps 2..16 terminate immediately. The structure
+      is kept (a fori_loop of warm-started PCG restarts) so the schedule
+      is wired end-to-end, at ~zero marginal cost.
     """
     canonical_v = jnp.asarray(canonical_v, jnp.float32)
     live_v = jnp.asarray(live_v, jnp.float32)
@@ -253,28 +276,54 @@ def solve(
         A_data, b = _dense_data_normal(canonical_v, data_idx, data_w, s2_k,
                                        delta, D)
         A = A_data + reg_w2 * A_reg
-        t, iters = pcg(A, b, t_init)
+        # inner nonlinear loop: Opt relinearizes `nonlinear_iter` times with
+        # the robust weights frozen; the energy is linear in t so every
+        # restart sees the same (A, b) and the warm-started PCG of steps
+        # 2..n exits on its first convergence check.
+        def inner(_, t_i):
+            t_n, it_n = pcg(A, b, t_i)
+            return t_n
+
+        t = jax.lax.fori_loop(0, max(nonlinear_iter - 1, 0),
+                              inner, t_init)
+        t, iters = pcg(A, b, t)
         c0 = jnp.sum(s2_k[:, None] * delta * delta)
         cost0 = c0  # cost at t=0 under these weights
         costt = c0 - 2.0 * jnp.vdot(t, b) + jnp.vdot(t, _mm(A, t))
         return t, iters, cost0, costt
 
-    # first (or only) GN iteration: weights from the incoming warp state
+    def huber_mean(t_cur):
+        """updateHuberWeights on the CURRENT translation state: mean over
+        active nodes of the (last-neighbor, as upstream) Huber weight."""
+        wf_cur = wfield.compose_translations(wf, jnp.where(
+            wf.mask[:, None], t_cur, 0.0))
+        hw = huber_weights(wf_cur, reg_idx, psi_reg)
+        m = wf.mask.astype(jnp.float32)
+        return jnp.sum(hw * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    # outer iteration 1: robust weights from the incoming warp state
+    # (initializeProblemInstance runs updateTukeyBiweights/updateHuberWeights
+    # before the first solve)
+    mean_huber = huber_mean(jnp.zeros((D, 3), jnp.float32))
     t, iters, cost0, costt = assemble_and_solve(s2, jnp.zeros((D, 3), jnp.float32))
     initial_cost = cost0
 
-    # Opt's nonlinear schedule: recompute Tukey from the CURRENT estimate
-    # (warped + W t, since the warp is linear in the translations), then
-    # relinearize and solve again starting from the current t.
-    for _ in range(nonlinear_iter - 1):
+    # outer iterations 2..num_iter: never run upstream (earlyOut breaks
+    # after the first; dyn_fusion.cpp:189). Without early_out, each outer
+    # iteration recomputes Tukey/Huber from the CURRENT estimate
+    # (warped + W t — the warp is linear in the translations) and re-solves
+    # warm-started, the preNonlinearSolve flow of opt_solver.cpp:131-140.
+    outer_iters = 1 if early_out else num_iter
+    for _ in range(outer_iters - 1):
         warped_k = warped + jnp.einsum(
             "nk,nkc->nc", data_w, t[data_idx], precision=_hi
         )
         s2_k = tukey_biweights(warped_k, live_v, tukey_offset, psi_data)
         s2_k = jnp.where(vert_mask, s2_k, 0.0)
+        mean_huber = huber_mean(t)
         t, iters, _, costt = assemble_and_solve(s2_k, t)
 
-    stats = SolveStats(initial_cost, costt, iters)
+    stats = SolveStats(initial_cost, costt, iters, mean_huber)
 
     t = jnp.where(wf.mask[:, None], t, 0.0)
     return wfield.compose_translations(wf, t), stats

@@ -168,6 +168,19 @@ def run_benchmark(
         sync(wv)
     latency_ms = (time.perf_counter() - t0) / 3 * 1e3
 
+    # observability scalars from the fused program: both must be 0 on a
+    # healthy run (capacity overflow / certificate failures are silent
+    # accuracy loss otherwise)
+    fs = engine.last_frame_stats
+    mc_dropped = int(fs.mc_dropped)
+    corr_dropped = int(fs.corr_dropped)
+    assert mc_dropped == 0, (
+        f"marching cubes dropped {mc_dropped} occupied cells — raise "
+        "max_mc_voxels or the per-column budget for this workload")
+    assert corr_dropped == 0, (
+        f"{corr_dropped} correspondences failed the window-exactness "
+        "certificate — widen the correspondence window for this workload")
+
     return {
         "metric": f"nonrigid_fusion_fps_{volume_dims}cube",
         "value": round(fps, 3),
@@ -176,6 +189,8 @@ def run_benchmark(
         "frame_ms": round(dt * 1e3, 1),
         "latency_ms": round(latency_ms, 1),
         "median_vertex_err_mm": round(err_mm, 3),
+        "mc_dropped_cells": mc_dropped,
+        "corr_dropped": corr_dropped,
     }
 
 
@@ -248,13 +263,13 @@ def run_stage_benchmark(
     dists = clock("preprocess_dists", lambda: imgproc.compute_dists(depth, intr))
     vol2 = clock("clear_integrate", lambda: tv.integrate_separable(
         tv.clear(vol), dists, pose, intr, config))
-    verts, n_verts = clock("marching_cubes", lambda: marching_cubes(
+    verts, n_verts, _ = clock("marching_cubes", lambda: marching_cubes(
         vol2, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices))
     live_m = jnp.arange(verts.shape[0]) < n_verts
     wv, wn = clock("warp_canonical", lambda: wfield.warp_points_normals(
         wf, c.vertices, c.normals))
-    corr, exact = clock("correspondence_1nn", lambda: knn.nn1_gather_sorted(
-        verts, wv, wv, c.mask))
+    corr, exact = clock("correspondence_1nn", lambda: knn.nn1_gather_xwindow(
+        verts, wv, None, c.mask, live_m))
     corr_m = live_m & exact
     clock("gn_solve", lambda: gn.solve(
         wf, corr, verts, vert_mask=corr_m,

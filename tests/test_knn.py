@@ -126,3 +126,88 @@ def test_nn1_gather_sorted_respects_mask():
     # masked points never returned: every result must be a valid point
     d = np.linalg.norm(np.asarray(got)[:, None, :] - pts[None, mask], axis=-1)
     assert d.min(axis=1).max() < 1e-5
+
+
+def test_nn1_gather_xwindow_matches_exact():
+    """x-windowed 1-NN (unsorted nearly-x-ordered queries) equals brute
+    force wherever the certificate passes."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(11)
+    base = np.sort(rng.rand(4000).astype(np.float32)) * 2.0
+    pts = np.stack(
+        [base, np.cos(base * 7) * 0.4 + 1.0, np.sin(base * 7) * 0.4 + 1.0], -1
+    ).astype(np.float32)
+    # queries: jittered points in nearly-sorted order (marching-cubes-like)
+    queries = pts + rng.randn(4000, 3).astype(np.float32) * 0.003
+    vals = np.concatenate([pts, pts * 2], 1).astype(np.float32)
+
+    got, exact = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals), block=512
+    )
+    _, want = knn.nn1_gather(jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals))
+    got, want, exact = np.asarray(got), np.asarray(want), np.asarray(exact)
+    assert exact.mean() > 0.999
+    dg = np.sum((queries - got[:, :3]) ** 2, axis=1)
+    dw = np.sum((queries - want[:, :3]) ** 2, axis=1)
+    assert (dg[exact] <= dw[exact] + 5e-7).all()
+    same = np.isclose(got, want, atol=1e-5).all(1)
+    assert same[exact].mean() > 0.95
+
+
+def test_nn1_gather_xwindow_fetch_points_and_masks():
+    """values=None fetches the point coordinates themselves (un-centered),
+    point_mask excludes points, query_mask marks queries inexact."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(5)
+    pts = (rng.rand(600, 3).astype(np.float32) + np.float32([5, -3, 2]))
+    order = np.argsort(pts[:, 0])
+    queries = pts[order] + 0.001
+    pmask = np.ones(600, bool)
+    pmask[::2] = False
+    qmask = np.ones(600, bool)
+    qmask[-7:] = False
+    got, exact = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), None,
+        jnp.asarray(pmask), jnp.asarray(qmask), block=256,
+    )
+    got, exact = np.asarray(got), np.asarray(exact)
+    # masked queries are never certified
+    assert not exact[-7:].any()
+    # every certified result is a valid (unmasked) point, exactly
+    d = np.linalg.norm(got[exact][:, None, :] - pts[None, pmask], axis=-1)
+    assert d.min(axis=1).max() < 1e-5
+    # and is the true masked-brute-force NN
+    _, want = knn.nn1_gather(
+        jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(pts),
+        jnp.asarray(pmask))
+    want = np.asarray(want)
+    dg = np.sum((queries - got) ** 2, axis=1)
+    dw = np.sum((queries - want) ** 2, axis=1)
+    assert (dg[exact] <= dw[exact] + 5e-7).all()
+
+
+def test_nn1_gather_xwindow_unsorted_queries_still_correct():
+    """Fully shuffled queries: efficiency degrades (certificates fail) but
+    every certified answer must still be the exact NN."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(3)
+    pts = rng.rand(3000, 3).astype(np.float32)
+    queries = rng.permutation(pts + 0.002)
+    got, exact = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), None, block=256)
+    got, exact = np.asarray(got), np.asarray(exact)
+    _, want = knn.nn1_gather(jnp.asarray(queries), jnp.asarray(pts),
+                             jnp.asarray(pts))
+    want = np.asarray(want)
+    dg = np.sum((queries - got) ** 2, axis=1)
+    dw = np.sum((queries - want) ** 2, axis=1)
+    assert (dg[exact] <= dw[exact] + 5e-7).all()

@@ -44,7 +44,7 @@ def run_sphere(dims=32):
     cfg = tv.TsdfConfig(dims=(dims,) * 3, size=(1.0, 1.0, 1.0), trunc_dist=0.08)
     center, radius = (0.5, 0.5, 0.5), 0.3
     vol = sphere_volume(cfg, center, radius)
-    verts, n = marching_cubes(vol, cfg, max_voxels=1 << 15, max_verts=3 * 20000)
+    verts, n, _ = marching_cubes(vol, cfg, max_voxels=1 << 15, max_verts=3 * 20000)
     n = int(n)
     verts = np.asarray(verts)[:n]
     return verts, center, radius
@@ -105,16 +105,63 @@ def test_weight_gating_blocks_unobserved_cells():
     cfg = tv.TsdfConfig(dims=(16, 16, 16), size=(1.0, 1.0, 1.0), trunc_dist=0.1)
     vol = sphere_volume(cfg, (0.5, 0.5, 0.5), 0.3)
     vol0 = vol._replace(weight=jnp.zeros(cfg.dims, jnp.uint8))
-    _, n = marching_cubes(vol0, cfg, max_voxels=1 << 12, max_verts=3 * 4096)
+    _, n, _ = marching_cubes(vol0, cfg, max_voxels=1 << 12, max_verts=3 * 4096)
     assert int(n) == 0
 
 
 def test_capacity_truncation_is_safe():
     cfg = tv.TsdfConfig(dims=(32, 32, 32), size=(1.0, 1.0, 1.0), trunc_dist=0.08)
     vol = sphere_volume(cfg, (0.5, 0.5, 0.5), 0.3)
-    verts, n = marching_cubes(vol, cfg, max_voxels=256, max_verts=300)
+    verts, n, dropped = marching_cubes(vol, cfg, max_voxels=256, max_verts=300)
     assert int(n) <= 300
     assert np.isfinite(np.asarray(verts)).all()
+    # the sphere occupies far more than 256 cells: the overflow must be
+    # REPORTED, not silent
+    assert int(dropped) > 0
+
+
+def _forced_hierarchical_mc():
+    """marching_cubes with the small-volume direct path disabled (same
+    source-patch device as test_hierarchical_compaction_matches_direct)."""
+    import types
+
+    import dynfu_tpu.mesh.mc as mc_mod
+
+    src = open(mc_mod.__file__).read()
+    patched = src.replace("if n_cells < (1 << 18):", "if False:")
+    assert patched != src, "hierarchical-path guard string changed; update test"
+    mod = types.ModuleType("mc_forced_hierarchical")
+    mod.__dict__.update(mc_mod.__dict__)
+    exec(compile(patched, "mc_forced_hierarchical", "exec"), mod.__dict__)
+    return mod
+
+
+def test_hierarchical_column_overflow_is_counted():
+    """A z-parallel wall with more crossings per column than the per-column
+    budget K must report its dropped cells (round-1 behavior: silent loss on
+    TPU behind a cpu-only debug print)."""
+    cfg = tv.TsdfConfig(dims=(16, 16, 64), size=(1.0, 1.0, 1.0),
+                        trunc_dist=0.08)
+    # K = 4 + 4*ceil(trunc/voxel_z) = 4 + 4*ceil(0.08/(1/64)) = 28; a sign
+    # flip every z cell gives 63 crossings per column > K
+    t = np.fromfunction(lambda x, y, z: (-1.0) ** z, cfg.dims, dtype=np.int64)
+    vol = tv.create(cfg)._replace(
+        tsdf=jnp.asarray(t, jnp.float16),
+        weight=jnp.ones(cfg.dims, jnp.uint8))
+    mod = _forced_hierarchical_mc()
+    v1, n1, d1 = mod.marching_cubes(vol, cfg, max_voxels=1 << 15,
+                                    max_verts=3 * 60000)
+    # direct path on the same volume: complete, zero dropped
+    v2, n2, d2 = marching_cubes(vol, cfg, max_voxels=1 << 15,
+                                max_verts=3 * 60000)
+    assert int(d2) == 0
+    assert int(d1) > 0
+    # every interior cell of the alternating pattern crosses and emits
+    # exactly 6 vertices (cases 0x0F/0xF0): dropped = total - captured
+    occ_total = 15 * 15 * 63
+    assert int(n2) == 6 * occ_total
+    assert int(d1) == occ_total - int(n1) // 6
+    assert int(n1) < int(n2)
 
 
 def test_hierarchical_compaction_matches_direct():
@@ -134,8 +181,9 @@ def test_hierarchical_compaction_matches_direct():
 
     cfg = tv.TsdfConfig(dims=(32, 32, 32), size=(1.0, 1.0, 1.0), trunc_dist=0.08)
     vol = sphere_volume(cfg, (0.5, 0.5, 0.5), 0.3)
-    v1, n1 = marching_cubes(vol, cfg, max_voxels=1 << 14, max_verts=3 * 20000)
-    v2, n2 = mod.marching_cubes(vol, cfg, max_voxels=1 << 14, max_verts=3 * 20000)
+    v1, n1, d1 = marching_cubes(vol, cfg, max_voxels=1 << 14, max_verts=3 * 20000)
+    v2, n2, d2 = mod.marching_cubes(vol, cfg, max_voxels=1 << 14, max_verts=3 * 20000)
+    assert int(d1) == 0 and int(d2) == 0
     assert int(n1) == int(n2)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
 

@@ -48,16 +48,21 @@ def make_wf(nodes):
     return wfield.init_warpfield(nodes, weights=DG_W)
 
 
-def run_solve(wf, source, target):
+def run_solve(wf, source, target, **over):
+    # the reference fixture's full schedule (opt_optimisation_test.cpp:36-44
+    # / dyn_fusion.cpp:183-189): 24 outer / 16 nonlinear / 256 linear,
+    # earlyOut
+    kw = dict(
+        tukey_offset=TUKEY_OFFSET, psi_data=PSI_DATA, lambda_reg=LAMBDA,
+        psi_reg=PSI_REG, linear_iter=256, nonlinear_iter=16, num_iter=24,
+        early_out=True,
+    )
+    kw.update(over)
     wf2, stats = gn.solve(
         wf,
         np.asarray(source, np.float32),
         np.asarray(target, np.float32),
-        tukey_offset=TUKEY_OFFSET,
-        psi_data=PSI_DATA,
-        lambda_reg=LAMBDA,
-        psi_reg=PSI_REG,
-        linear_iter=256,
+        **kw,
     )
     return wf2, stats
 
@@ -188,10 +193,11 @@ def test_solve_with_padded_capacity():
     np.testing.assert_allclose(va, vb, atol=1e-5)
 
 
-def test_nonlinear_reweighting_downweights_outliers():
-    """nonlinear_iter > 1 (Opt's full schedule, preNonlinearSolve re-weighting)
-    must not be worse than the earlyOut single pass, and should recover the
-    inlier motion despite corrupted targets."""
+def test_outer_reweighting_downweights_outliers():
+    """Outer iterations without earlyOut (Opt's never-exercised full outer
+    schedule, preNonlinearSolve re-weighting) must not be worse than the
+    earlyOut single pass, and should recover the inlier motion despite
+    corrupted targets."""
     wf = make_wf(GROUP1)
     src = np.asarray(SRC5B, np.float32)
     tgt = np.asarray(TGT5B, np.float32).copy()
@@ -199,9 +205,11 @@ def test_nonlinear_reweighting_downweights_outliers():
     tgt_bad[2] += 0.5  # gross outlier, far beyond the tukey cutoff
 
     wf1, _ = gn.solve(wf, src, tgt_bad, tukey_offset=TUKEY_OFFSET,
-                      psi_data=PSI_DATA, lambda_reg=0.0, nonlinear_iter=1)
+                      psi_data=PSI_DATA, lambda_reg=0.0,
+                      num_iter=1, early_out=True)
     wf4, _ = gn.solve(wf, src, tgt_bad, tukey_offset=TUKEY_OFFSET,
-                      psi_data=PSI_DATA, lambda_reg=0.0, nonlinear_iter=4)
+                      psi_data=PSI_DATA, lambda_reg=0.0,
+                      num_iter=4, early_out=False)
 
     def err(w):
         blend = wfield.calc_dqb(w, src)
@@ -211,3 +219,46 @@ def test_nonlinear_reweighting_downweights_outliers():
 
     assert err(wf4) <= err(wf1) + 1e-6
     assert err(wf4) < 2e-3
+
+
+def test_full_schedule_matches_earlyout_on_linear_energy():
+    """The energy is linear in the translations, so the 16 frozen-weight
+    inner relinearizations (and, on a clean fixture, the extra outer
+    iterations) must leave the answer unchanged — the property that makes
+    the reference's earlyOut break lossless."""
+    wf0 = make_wf(GROUP1)
+    a, _ = run_solve(wf0, SRC5B, TGT5B, nonlinear_iter=1, num_iter=1)
+    b, _ = run_solve(wf0, SRC5B, TGT5B, nonlinear_iter=16, num_iter=24,
+                     early_out=True)
+    c, _ = run_solve(wf0, SRC5B, TGT5B, nonlinear_iter=16, num_iter=3,
+                     early_out=False)
+    src = np.asarray(SRC5B, np.float32)
+
+    def warped(w):
+        return np.asarray(dq.dq_transform_point(wfield.calc_dqb(w, src), src))
+
+    np.testing.assert_allclose(warped(a), warped(b), atol=1e-5)
+    np.testing.assert_allclose(warped(b), np.asarray(TGT5B, np.float32),
+                               atol=MAX_ERROR)
+    np.testing.assert_allclose(warped(c), np.asarray(TGT5B, np.float32),
+                               atol=MAX_ERROR)
+
+
+def test_huber_weights_computed_on_schedule():
+    """updateHuberWeights parity: identity warp state -> zero node-pair
+    disagreement -> all Huber weights 1 (opt_solver.cpp:233-245); stats
+    must report them (the reference uploads them to Opt each
+    preNonlinearSolve even though no energy term reads them)."""
+    wf = make_wf(GROUP1)
+    reg_idx, _ = wfield.find_neighbors(wf, wf.pos, 8)
+    hw = np.asarray(gn.huber_weights(wf, reg_idx, PSI_REG))
+    np.testing.assert_allclose(hw[: len(GROUP1)], 1.0, atol=1e-6)
+
+    _, stats = run_solve(wf, SRC5B, TGT5B)
+    assert float(stats.mean_huber) == pytest.approx(1.0, abs=1e-6)
+
+    # after a real deformation the node transforms disagree: weights < 1
+    wf2, _ = run_solve(wf, SRC5B, TGT5B)
+    reg_idx2, _ = wfield.find_neighbors(wf2, wf2.pos, 8)
+    hw2 = np.asarray(gn.huber_weights(wf2, reg_idx2, PSI_REG))
+    assert hw2[: len(GROUP1)].min() < 1.0
