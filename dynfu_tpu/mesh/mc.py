@@ -65,80 +65,120 @@ def marching_cubes(
     X, Y, Z = config.dims
     vs = np.asarray(config.voxel_size, np.float32)
 
-    F = vol.tsdf.astype(jnp.float32)
+    Fh = vol.tsdf  # (X, Y, Z) float16 storage; f32 only after compaction
     W = vol.weight
 
     tri_tab = jnp.asarray(tables.TRI_TABLE)  # (256, 16)
     nv_tab = jnp.asarray(tables.NUM_VERTS_TABLE)  # (256,)
     offs = tables.CORNER_OFFSETS  # (8, 3) numpy
 
-    # --- pass 1: cube index field over the (X-1, Y-1, Z-1) cell grid --------
-    def corner(i):
-        dx, dy, dz = (int(v) for v in offs[i])
-        return (
-            F[dx : dx + X - 1, dy : dy + Y - 1, dz : dz + Z - 1],
-            W[dx : dx + X - 1, dy : dy + Y - 1, dz : dz + Z - 1],
-        )
-
-    all_weighted = None
-    cube = jnp.zeros((X - 1, Y - 1, Z - 1), jnp.int32)
-    for i in range(8):
-        fi, wi = corner(i)
-        ok = wi != 0
-        all_weighted = ok if all_weighted is None else (all_weighted & ok)
-        cube = cube + (fi < 0.0).astype(jnp.int32) * (1 << i)
-
-    cube = jnp.where(all_weighted, cube, 0)
-
-    # --- compaction + offsets (thrust scan -> cumsum) -----------------------
-    # occupancy needs NO table lookup: every case except 0/255 emits
-    # triangles, so occ = (cube not trivial) — pure comparisons over the
-    # dense field (TPU gathers are the slow operation here, LUTs come later
-    # on the COMPACTED set only)
-    occ = (cube != 0) & (cube != 255)
-    occ_flat = occ.reshape(-1)
-    n_cells = occ_flat.shape[0]
-    n_occ_total = jnp.sum(occ.astype(jnp.int32))
+    # --- pass 1: occupancy over the (X-1, Y-1, Z-1) cell grid ---------------
+    # A cell participate iff ALL 8 corner weights are nonzero
+    # (CubeIndexEstimator::computeCubeIndex, cu:37-77) and its corners are
+    # not all on one side of the isosurface (cube index not 0/255).
+    # Occupancy needs NO table lookup, so it reduces to sign/weight tests;
+    # the cube index itself is recomputed from the 8 gathered corner values
+    # on the COMPACTED set only (pass 2).
+    n_cells = (X - 1) * (Y - 1) * (Z - 1)
 
     if n_cells < (1 << 18):
-        # small volumes: direct masked compaction. The crossover to the
-        # hierarchical path is far below this (measured at 128-cube:
-        # direct 23.8 ms vs hierarchical 7.8 ms — nonzero's scatter cost
-        # scales with the dense cell count at ~7 ms per M cells); the
-        # threshold keeps tiny test volumes on the exact-by-construction
-        # path where compile time matters more than run time.
-        vox_idx = jnp.nonzero(occ_flat, size=max_voxels, fill_value=n_cells)[0]
+        # small volumes: dense cell field + direct masked compaction. The
+        # crossover to the bit-packed path is far below this (measured at
+        # 128-cube: direct 23.8 ms vs hierarchical 7.8 ms — nonzero's
+        # scatter cost scales with the dense cell count at ~7 ms per M
+        # cells); the threshold keeps tiny test volumes on the
+        # exact-by-construction path where compile time matters more than
+        # run time.
+        def corner(i):
+            dx, dy, dz = (int(v) for v in offs[i])
+            return (
+                Fh[dx : dx + X - 1, dy : dy + Y - 1, dz : dz + Z - 1],
+                W[dx : dx + X - 1, dy : dy + Y - 1, dz : dz + Z - 1],
+            )
+
+        all_weighted, all_in, all_out = None, None, None
+        for i in range(8):
+            fi, wi = corner(i)
+            ok = wi != 0
+            inside = fi < 0
+            if i == 0:
+                all_weighted, all_in, all_out = ok, inside, ~inside
+            else:
+                all_weighted &= ok
+                all_in &= inside
+                all_out &= ~inside
+        occ = all_weighted & ~all_in & ~all_out
+        n_occ_total = jnp.sum(occ.astype(jnp.int32))
+        vox_idx = jnp.nonzero(occ.reshape(-1), size=max_voxels,
+                              fill_value=n_cells)[0]
     else:
         # Large volumes: XLA's nonzero scatters one element per CELL
-        # (~950 ms for a 512-cube on this TPU). Occupancy is confined to
-        # the truncation band, so compact hierarchically: per z-column,
-        # extract the first K occupied z's, then run nonzero only over the
-        # (columns x K) candidate table. Candidate order (row-major,
-        # ascending z) equals the dense scan order, so downstream output
-        # is bit-identical whenever no column overflows K.
+        # (~950 ms for a 512-cube on this TPU), and even building a dense
+        # boolean cell field costs several 0.5 GB round trips to HBM. So
+        # occupancy is computed ENTIRELY in bit-packed form:
         #
-        # The extraction itself is BIT-PACKED: column occupancy packs into
-        # ceil((Z-1)/32) uint32 words (one pass over the dense field), and
-        # each of the K rounds pulls the lowest set bit of the first
-        # nonzero word — lsb = w & -w, bit position from the f32 exponent
-        # (exact: lsb is a power of two). All K rounds then touch only the
-        # (XY, nwords) packed array, ~Z/32 smaller than the dense field
-        # (the previous iterated-argmin formulation re-scanned all
-        # XY*(Z-1) cells per round: ~100 ms of the 512-cube frame).
+        #   1. one fused pass over tsdf/weight packs per-voxel-column
+        #      `inside` (tsdf < 0) and `valid` (weight != 0) bits into
+        #      ceil(Z/32) uint32 words — (X, Y, nw) arrays, 64x smaller
+        #      than the dense f32 field;
+        #   2. cell occupancy in word space: pairz(w) ANDs each bit with
+        #      its z+1 neighbor (shift with cross-word carry), cell4 ANDs
+        #      the four (x,y) corner columns; occupied = all-8-weighted
+        #      AND NOT all-inside AND NOT all-outside — a handful of VPU
+        #      bit-ops over 16 MB;
+        #   3. active z-columns (any bit set) are compacted FIRST (nonzero
+        #      over XY elements), and only then the first K set bits per
+        #      active column are extracted — lsb = w & -w, bit position
+        #      from the f32 exponent (exact: lsb is a power of two) — so
+        #      the K rounds touch (max_cols, nw) words, not (XY, Z) cells.
+        #
+        # Candidate order (ascending column id, ascending z) equals the
+        # dense scan order, so downstream output is bit-identical whenever
+        # no capacity overflows (overflow surfaces in n_dropped).
         #
         # per-column candidate budget: the occupied band is ~2*trunc/voxel
         # cells per surface crossing; budget two crossings + margin
         K = min(64, 4 + 4 * max(1, int(np.ceil(config.trunc_dist
                                                / config.voxel_size[2]))))
         cz = Z - 1
-        nwords = (cz + 31) // 32
-        rows = occ.reshape(-1, cz)  # (XY, Z-1), z minor
-        bits = jnp.pad(rows, ((0, 0), (0, nwords * 32 - cz)))
-        bits = bits.reshape(-1, nwords, 32)
-        pow2 = jnp.left_shift(jnp.uint32(1),
-                              jnp.arange(32, dtype=jnp.uint32))
-        words = jnp.sum(bits.astype(jnp.uint32) * pow2[None, None, :],
-                        axis=2, dtype=jnp.uint32)  # (XY, nwords)
+        nwords = (Z + 31) // 32
+        pow2 = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+
+        def pack_cols(bits):  # (X, Y, Z) bool -> (X, Y, nwords) uint32
+            b = jnp.pad(bits, ((0, 0), (0, 0), (0, nwords * 32 - Z)))
+            b = b.reshape(X, Y, nwords, 32)
+            return jnp.sum(b.astype(jnp.uint32) * pow2, axis=3,
+                           dtype=jnp.uint32)
+
+        def pairz(w):  # bit z := bit z AND bit z+1 (carry across words)
+            nxt = jnp.concatenate([w[..., 1:], jnp.zeros_like(w[..., :1])],
+                                  axis=-1)
+            down = jnp.right_shift(w, jnp.uint32(1)) | jnp.left_shift(
+                nxt, jnp.uint32(31))
+            return w & down
+
+        def cell4(w):  # AND of the four (x,y) corner columns of each cell
+            return w[:-1, :-1] & w[1:, :-1] & w[:-1, 1:] & w[1:, 1:]
+
+        ins_w = pack_cols(Fh < 0)
+        val_w = pack_cols(W != 0)
+        occ_w = cell4(pairz(val_w)) & ~cell4(pairz(ins_w)) \
+            & ~cell4(pairz(~ins_w))
+        # pad bits (z >= Z) carry valid=0, so bits >= Z-1 are already clear
+        occ_w = occ_w.reshape(-1, nwords)  # (XY, nwords), col = x*(Y-1)+y
+        n_occ_total = jnp.sum(
+            jax.lax.population_count(occ_w).astype(jnp.int32))
+
+        # compact ACTIVE columns first (a surface crosses only a small
+        # fraction), so both the K extraction rounds and the final slot
+        # nonzero run over max_cols, not XY
+        n_cols = occ_w.shape[0]
+        max_cols = min(n_cols, max(max_voxels // 4, 1 << 15))
+        col_active = jnp.any(occ_w != jnp.uint32(0), axis=1)
+        col_idx = jnp.nonzero(col_active, size=max_cols, fill_value=n_cols)[0]
+        col_ok = col_idx < n_cols
+        safe_col = jnp.minimum(col_idx, n_cols - 1)
+        words = jnp.where(col_ok[:, None], occ_w[safe_col], jnp.uint32(0))
 
         iota_w = jnp.arange(nwords, dtype=jnp.int32)
         cand = []
@@ -157,29 +197,35 @@ def marching_cubes(
             z = widx * 32 + e
             cand.append(jnp.where(lsb != jnp.uint32(0), z, jnp.int32(cz)))
             words = jnp.where(oh, words ^ lsb[:, None], words)
-        cand = jnp.stack(cand, axis=1)  # (XY, K) ascending z or cz sentinel
-        cand_valid = cand < cz
-        # cells beyond the per-column budget remain as set bits; they are
-        # counted into n_dropped via n_occ_total - n_captured below.
+        cand = jnp.stack(cand, axis=1)  # (max_cols, K) ascending z
+        valid_a = cand < cz
+        # cells beyond the per-column budget K or the max_cols cap remain
+        # as set bits; counted into n_dropped via n_occ_total below.
 
-        # third level: restrict to ACTIVE columns (a surface crosses only a
-        # fraction of them) so the final nonzero runs over max_cols*K
-        # candidates instead of XY*K
-        n_cols = cand.shape[0]
-        max_cols = min(n_cols, max(max_voxels // 2, 1 << 15))
-        col_active = cand_valid[:, 0]
-        col_idx = jnp.nonzero(col_active, size=max_cols, fill_value=n_cols)[0]
-        col_ok = col_idx < n_cols
-        safe_col = jnp.minimum(col_idx, n_cols - 1)
-        cand_a = cand[safe_col]  # (max_cols, K) coherent row gather
-        valid_a = cand_valid[safe_col] & col_ok[:, None]
         row_base = (safe_col.astype(jnp.int32) * cz)[:, None]
-        cand_idx = jnp.where(valid_a, row_base + cand_a, n_cells).reshape(-1)
-        slot = jnp.nonzero(valid_a.reshape(-1), size=max_voxels,
-                           fill_value=cand_idx.shape[0])[0]
-        cand_pad = jnp.concatenate(
-            [cand_idx, jnp.full((1,), n_cells, jnp.int32)])
-        vox_idx = cand_pad[jnp.minimum(slot, cand_idx.shape[0])]
+        cand_idx = jnp.where(valid_a, row_base + cand, n_cells)  # (mc, K)
+
+        # slot compaction WITHOUT a max_cols*K-element nonzero (12.7 ms at
+        # 512-cube): LSB-first extraction makes valid_a a per-column PREFIX
+        # mask, so per-column counts + an exclusive cumsum give each
+        # candidate its output slot exactly. Build the inverse map
+        # slot -> (column, rank) with one small scatter + a cummax:
+        # column c (count > 0) stamps c+1 at its first slot; cummax fills
+        # the gaps; rank = slot - column_offset.
+        cnt = jnp.sum(valid_a.astype(jnp.int32), axis=1)  # (max_cols,)
+        coff = jnp.cumsum(cnt) - cnt  # exclusive
+        n_captured = coff[-1] + cnt[-1]
+        stamp_pos = jnp.where(cnt > 0, coff, max_voxels)
+        col_ids = jnp.arange(cand.shape[0], dtype=jnp.int32)
+        colstart = jnp.zeros(max_voxels, jnp.int32).at[stamp_pos].max(
+            col_ids + 1, mode="drop")
+        col_of = jax.lax.cummax(colstart) - 1  # (max_voxels,)
+        slots = jnp.arange(max_voxels, dtype=jnp.int32)
+        slot_ok = (slots < n_captured) & (col_of >= 0)
+        safe_c = jnp.maximum(col_of, 0)
+        rank = jnp.clip(slots - coff[safe_c], 0, cand.shape[1] - 1)
+        vox_idx = jnp.where(
+            slot_ok, cand_idx[safe_c, rank], n_cells)
     vox_valid = vox_idx < n_cells
     # any capacity overflow (per-column K, active-column cap, max_voxels)
     # surfaces here as occupied-but-unprocessed cells
@@ -198,13 +244,31 @@ def marching_cubes(
     vy = jnp.where(vox_valid, vy, 0)
     vz = jnp.where(vox_valid, vz, 0)
 
-    # gather 8 corner tsdf values: (max_voxels, 8)
+    # gather 8 corner tsdf values: (max_voxels, 8). The f16 pair (F[z],
+    # F[z+1]) is bit-packed into one uint32 per voxel, so each cell needs 4
+    # gathers instead of 8 (measured 17.9 -> 13.8 ms at 512-cube; the pack
+    # itself is one fused streaming pass). Interpolation math below is f32,
+    # identical to casting the whole field first.
+    nxt = jnp.concatenate([Fh[:, :, 1:], Fh[:, :, :1]], axis=2)
+    zpair = jax.lax.bitcast_convert_type(
+        jnp.stack([Fh, nxt], axis=-1), jnp.uint32)  # (X, Y, Z)
+    xy_pairs = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    pv = jnp.stack([zpair[vx + dx, vy + dy, vz] for dx, dy in xy_pairs],
+                   axis=-1)  # (max_voxels, 4)
+    both = jax.lax.bitcast_convert_type(pv, jnp.float16)  # (M, 4, 2)
     fvals = jnp.stack(
-        [F[vx + int(offs[i, 0]), vy + int(offs[i, 1]), vz + int(offs[i, 2])]
+        [both[:, xy_pairs.index((int(offs[i, 0]), int(offs[i, 1]))),
+              int(offs[i, 2])]
          for i in range(8)],
         axis=-1,
-    )
-    cubeidx = jnp.where(vox_valid, cube.reshape(-1)[jnp.minimum(vox_idx, n_cells - 1)], 0)
+    ).astype(jnp.float32)
+    # cube index from the gathered corner signs — compacted cells are
+    # all-weighted by construction, so this equals the reference's
+    # weight-gated computeCubeIndex on occupied cells
+    cubeidx = jnp.zeros(fvals.shape[:1], jnp.int32)
+    for i in range(8):
+        cubeidx = cubeidx + (fvals[:, i] < 0.0).astype(jnp.int32) * (1 << i)
+    cubeidx = jnp.where(vox_valid, cubeidx, 0)
 
     # both LUTs in ONE one-hot matmul over the compacted set: columns =
     # [num_verts | tri rows] (a (256, 17) table)
@@ -246,12 +310,24 @@ def marching_cubes(
             (rows == e)[..., None], vertlist[:, None, e, :], 0.0
         )
 
-    # scatter into the output stream at v_offsets + slot
-    slot = jnp.arange(15, dtype=jnp.int32)[None, :]
-    tgt = jnp.where(emit, v_offsets[:, None] + slot, max_verts)
-    out = jnp.zeros((max_verts + 1, 3), jnp.float32)
-    out = out.at[tgt.reshape(-1)].set(verts.reshape(-1, 3), mode="drop")
-    return out[:max_verts], total_verts.astype(jnp.int32), n_dropped
+    # scatter into the output stream at TRIANGLE granularity: 5 rows of 9
+    # floats per voxel instead of 15 rows of 3 (scatter cost scales with row
+    # count: 23.8 -> 11.2 ms at 512-cube). num_verts is always a multiple
+    # of 3, so tri offsets are exact; the 9-float rows reshape back to the
+    # identical vertex stream.
+    max_tris = max_verts // 3
+    tris = verts.reshape(verts.shape[0], 5, 9)
+    tri_emit = emit[:, ::3]  # (M, 5): slot j emits iff rows[:, 3j] >= 0
+    t_offsets = v_offsets // 3
+    tri_slot = jnp.arange(5, dtype=jnp.int32)[None, :]
+    tgt = jnp.where(tri_emit, t_offsets[:, None] + tri_slot, max_tris)
+    out = jnp.zeros((max_tris + 1, 9), jnp.float32)
+    out = out.at[tgt.reshape(-1)].set(tris.reshape(-1, 9), mode="drop")
+    stream = out[:max_tris].reshape(max_tris * 3, 3)
+    if max_tris * 3 < max_verts:  # keep the advertised (max_verts, 3) shape
+        stream = jnp.pad(stream, ((0, max_verts - max_tris * 3), (0, 0)))
+    total_verts = jnp.minimum(total_verts, max_tris * 3)
+    return stream, total_verts.astype(jnp.int32), n_dropped
 
 
 def mesh_to_world(vertices: jnp.ndarray, vol: TsdfVolume) -> jnp.ndarray:
