@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dynfu_tpu.mesh import tables
+from dynfu_tpu.ops import compaction
 from dynfu_tpu.volume.tsdf import TsdfConfig, TsdfVolume
 
 MAX_TRIANGLES = 2_000_000  # default vertex-buffer capacity / 3
@@ -142,90 +143,21 @@ def marching_cubes(
                                                / config.voxel_size[2]))))
         cz = Z - 1
         nwords = (Z + 31) // 32
-        pow2 = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
-
-        def pack_cols(bits):  # (X, Y, Z) bool -> (X, Y, nwords) uint32
-            b = jnp.pad(bits, ((0, 0), (0, 0), (0, nwords * 32 - Z)))
-            b = b.reshape(X, Y, nwords, 32)
-            return jnp.sum(b.astype(jnp.uint32) * pow2, axis=3,
-                           dtype=jnp.uint32)
-
-        def pairz(w):  # bit z := bit z AND bit z+1 (carry across words)
-            nxt = jnp.concatenate([w[..., 1:], jnp.zeros_like(w[..., :1])],
-                                  axis=-1)
-            down = jnp.right_shift(w, jnp.uint32(1)) | jnp.left_shift(
-                nxt, jnp.uint32(31))
-            return w & down
 
         def cell4(w):  # AND of the four (x,y) corner columns of each cell
             return w[:-1, :-1] & w[1:, :-1] & w[:-1, 1:] & w[1:, 1:]
 
-        ins_w = pack_cols(Fh < 0)
-        val_w = pack_cols(W != 0)
+        pairz = compaction.pair_and_z
+        ins_w = compaction.pack_columns(Fh < 0)
+        val_w = compaction.pack_columns(W != 0)
         occ_w = cell4(pairz(val_w)) & ~cell4(pairz(ins_w)) \
             & ~cell4(pairz(~ins_w))
         # pad bits (z >= Z) carry valid=0, so bits >= Z-1 are already clear
         occ_w = occ_w.reshape(-1, nwords)  # (XY, nwords), col = x*(Y-1)+y
-        n_occ_total = jnp.sum(
-            jax.lax.population_count(occ_w).astype(jnp.int32))
-
-        # compact ACTIVE columns first (a surface crosses only a small
-        # fraction), so both the K extraction rounds and the final slot
-        # nonzero run over max_cols, not XY
-        n_cols = occ_w.shape[0]
-        max_cols = min(n_cols, max(max_voxels // 4, 1 << 15))
-        col_active = jnp.any(occ_w != jnp.uint32(0), axis=1)
-        col_idx = jnp.nonzero(col_active, size=max_cols, fill_value=n_cols)[0]
-        col_ok = col_idx < n_cols
-        safe_col = jnp.minimum(col_idx, n_cols - 1)
-        words = jnp.where(col_ok[:, None], occ_w[safe_col], jnp.uint32(0))
-
-        iota_w = jnp.arange(nwords, dtype=jnp.int32)
-        cand = []
-        for _ in range(K):
-            nz = words != jnp.uint32(0)
-            widx = jnp.min(jnp.where(nz, iota_w[None, :], jnp.int32(nwords)),
-                           axis=1)  # first nonzero word per column
-            oh = iota_w[None, :] == widx[:, None]
-            w = jnp.sum(jnp.where(oh, words, jnp.uint32(0)), axis=1,
-                        dtype=jnp.uint32)
-            lsb = w & (jnp.uint32(0) - w)
-            # bit position from the f32 exponent (exact for powers of two;
-            # lsb == 0 gives e = -127, masked below)
-            e = (jax.lax.bitcast_convert_type(lsb.astype(jnp.float32),
-                                              jnp.int32) >> 23) - 127
-            z = widx * 32 + e
-            cand.append(jnp.where(lsb != jnp.uint32(0), z, jnp.int32(cz)))
-            words = jnp.where(oh, words ^ lsb[:, None], words)
-        cand = jnp.stack(cand, axis=1)  # (max_cols, K) ascending z
-        valid_a = cand < cz
-        # cells beyond the per-column budget K or the max_cols cap remain
-        # as set bits; counted into n_dropped via n_occ_total below.
-
-        row_base = (safe_col.astype(jnp.int32) * cz)[:, None]
-        cand_idx = jnp.where(valid_a, row_base + cand, n_cells)  # (mc, K)
-
-        # slot compaction WITHOUT a max_cols*K-element nonzero (12.7 ms at
-        # 512-cube): LSB-first extraction makes valid_a a per-column PREFIX
-        # mask, so per-column counts + an exclusive cumsum give each
-        # candidate its output slot exactly. Build the inverse map
-        # slot -> (column, rank) with one small scatter + a cummax:
-        # column c (count > 0) stamps c+1 at its first slot; cummax fills
-        # the gaps; rank = slot - column_offset.
-        cnt = jnp.sum(valid_a.astype(jnp.int32), axis=1)  # (max_cols,)
-        coff = jnp.cumsum(cnt) - cnt  # exclusive
-        n_captured = coff[-1] + cnt[-1]
-        stamp_pos = jnp.where(cnt > 0, coff, max_voxels)
-        col_ids = jnp.arange(cand.shape[0], dtype=jnp.int32)
-        colstart = jnp.zeros(max_voxels, jnp.int32).at[stamp_pos].max(
-            col_ids + 1, mode="drop")
-        col_of = jax.lax.cummax(colstart) - 1  # (max_voxels,)
-        slots = jnp.arange(max_voxels, dtype=jnp.int32)
-        slot_ok = (slots < n_captured) & (col_of >= 0)
-        safe_c = jnp.maximum(col_of, 0)
-        rank = jnp.clip(slots - coff[safe_c], 0, cand.shape[1] - 1)
-        vox_idx = jnp.where(
-            slot_ok, cand_idx[safe_c, rank], n_cells)
+        max_cols = min(occ_w.shape[0], max(max_voxels // 4, 1 << 15))
+        vox_idx, n_occ_total, _ = compaction.extract_columns(
+            occ_w, per_column=K, max_cols=max_cols, max_out=max_voxels,
+            row_stride=cz, fill=n_cells)
     vox_valid = vox_idx < n_cells
     # any capacity overflow (per-column K, active-column cap, max_voxels)
     # surfaces here as occupied-but-unprocessed cells

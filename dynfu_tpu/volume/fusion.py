@@ -1,0 +1,171 @@
+"""Non-rigid (warped) TSDF integration into a PERSISTENT canonical volume.
+
+This is the DynamicFusion fusion model (Newcombe et al. 2015, §3.3) the
+reference scaffolded but never built — its per-frame loop clears and
+re-integrates the live depth rigidly instead, with the apology at
+src/dynfu/dyn_fusion.cpp:107-116 ("FIXME... we should be warping the
+canonical frame"). That workaround pins reconstruction error to the voxel
+discretization floor; warped integration is the only path below it.
+
+Per active canonical voxel x_c:
+  warp x_c through the warp field (the same sequential-product DQB the rest
+  of the engine uses, warp/field.py), project the warped point into the
+  live depth camera, read the depth along the ray, and fold the projective
+  SDF into the canonical voxel with the running weighted average + weight
+  clamp of the rigid integrator (src/kfusion/cuda/tsdf_volume.cu:50-94).
+  Voxels outside the warp field's support (min_k dist/dg_w >= 1, the
+  unsupported rule of warp_field.cpp:34-61) are left untouched.
+
+TPU formulation: the update only has effect inside the truncation band of
+the canonical surface (plus a dilation margin that lets the surface GROW
+into newly observed space), so the voxel set is compacted FIRST with the
+bit-packed column machinery (ops/compaction.py) and all per-voxel work —
+k-NN node search on the MXU, DQB, projection, update — runs over the
+compacted (max_active,) set, never the dense grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynfu_tpu.core import se3
+from dynfu_tpu.core.camera import Intr
+from dynfu_tpu.ops import compaction
+from dynfu_tpu.volume.tsdf import TsdfConfig, TsdfVolume
+from dynfu_tpu.warp import field as wfield
+
+
+class FusionStats(NamedTuple):
+    """Observability scalars from the fused program (no host callbacks)."""
+
+    n_band: jnp.ndarray  # () int32: voxels in the dilated active band
+    n_captured: jnp.ndarray  # () int32: band voxels processed (<= capacity)
+    n_updated: jnp.ndarray  # () int32: voxels whose TSDF was updated
+
+
+def band_budget(config: TsdfConfig, dilate: int) -> int:
+    """Per-column bit budget for the active band: the truncation band is
+    ~2*trunc/voxel deep per surface crossing; allow two crossings plus the
+    dilation margin."""
+    import numpy as np
+
+    depth = int(np.ceil(config.trunc_dist / config.voxel_size[2]))
+    return min(config.dims[2], 8 + 4 * depth + 4 * dilate)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "config", "max_active", "dilate", "knn_k"),
+)
+def integrate_warped(
+    vol: TsdfVolume,
+    wf: wfield.WarpField,
+    dists: jnp.ndarray,  # (H, W) float16 meters (compute_dists output)
+    camera_pose: tuple,  # (R, t) world <- camera
+    intr: Intr,
+    config: TsdfConfig,
+    *,
+    max_active: int = 1 << 19,
+    dilate: int = 2,
+    knn_k: int = 4,
+) -> Tuple[TsdfVolume, FusionStats]:
+    """Fuse one live depth frame into the canonical volume through the warp.
+
+    Returns (updated volume, FusionStats). n_captured < n_band signals a
+    compaction-capacity overflow (un-updated band voxels); callers should
+    size ``max_active`` so it stays equal to n_band.
+    """
+    X, Y, Z = config.dims
+    vsx, vsy, vsz = config.voxel_size
+    H, W = dists.shape
+    trunc_inv = 1.0 / config.trunc_dist
+
+    F16, Wu8 = vol.tsdf, vol.weight
+
+    # --- active band: observed near-surface voxels + growth margin --------
+    # (W > 0) & (tsdf < 1) is the truncation band (far free space saturates
+    # at exactly +1); dilation lets newly observed geometry extend it.
+    band = (Wu8 > 0) & (F16 < jnp.float16(1.0))
+    bw = compaction.pack_columns(band)  # (X, Y, nw)
+    if dilate > 0:
+        bw = compaction.dilate_z(bw, dilate, Z)
+        bw = compaction.dilate_xy(bw, dilate)
+    nwords = bw.shape[-1]
+    flat_idx, n_band, n_captured = compaction.extract_columns(
+        bw.reshape(X * Y, nwords),
+        per_column=band_budget(config, dilate),
+        max_cols=min(X * Y, max(max_active // 8, 1 << 15)),
+        max_out=max_active,
+        row_stride=Z,
+        fill=X * Y * Z,
+    )
+    ok = flat_idx < X * Y * Z
+    safe = jnp.where(ok, flat_idx, 0)
+    vx = safe // (Y * Z)
+    rem = safe - vx * (Y * Z)
+    vy = rem // Z
+    vz = rem - vy * Z
+
+    # voxel CORNER coordinates in the volume frame — the rigid integrator's
+    # convention (tsdf_volume.cu:60), so rigid and warped integration of an
+    # identity warp agree bit-for-bit.
+    p_vol = jnp.stack([vx.astype(jnp.float32) * vsx,
+                       vy.astype(jnp.float32) * vsy,
+                       vz.astype(jnp.float32) * vsz], axis=-1)
+
+    # --- warp through the field (engine DQB semantics) --------------------
+    _, sqd, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
+        wf, p_vol, knn_k)
+    blend = wfield._dqb_from_features(p_vol, n_pos, n_dq, n_w, n_valid)
+    from dynfu_tpu.core import dualquat as dq
+
+    p_warp = dq.dq_transform_point(blend, p_vol)
+    # support gate: voxels outside every node's influence radius keep their
+    # canonical value (warp extrapolation there is meaningless)
+    ratio2 = jnp.where(n_valid, sqd / jnp.maximum(n_w * n_w, 1e-30), jnp.inf)
+    supported = jnp.min(ratio2, axis=-1) < 1.0
+
+    # --- project into the live camera + projective SDF -------------------
+    cam_from_vol = se3.compose(se3.inverse(camera_pose),
+                               (vol.pose_r, vol.pose_t))
+    R, t = cam_from_vol
+    vc = jnp.matmul(p_warp, R.T, precision=jax.lax.Precision.HIGHEST) + t
+    vcx, vcy, vcz = vc[:, 0], vc[:, 1], vc[:, 2]
+    u = intr.fx * vcx / vcz + intr.cx
+    v = intr.fy * vcy / vcz + intr.cy
+    ui = jnp.floor(u).astype(jnp.int32)  # point sampling, as the rigid path
+    vi = jnp.floor(v).astype(jnp.int32)
+    in_img = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (vcz > 0)
+    ui = jnp.clip(ui, 0, W - 1)
+    vi = jnp.clip(vi, 0, H - 1)
+    Dp = dists.astype(jnp.float32)[vi, ui]
+    sdf = Dp - jnp.sqrt(vcx * vcx + vcy * vcy + vcz * vcz)
+
+    update = (ok & supported & in_img & (Dp != 0)
+              & (sdf >= -config.trunc_dist))
+
+    # --- running-average update at the compacted voxels -------------------
+    tsdf_prev = F16[vx, vy, vz].astype(jnp.float32)
+    w_prev = Wu8[vx, vy, vz].astype(jnp.float32)
+    tsdf_in = jnp.minimum(1.0, sdf * trunc_inv)
+    tsdf_new = (tsdf_prev * w_prev + tsdf_in) / (w_prev + 1.0)
+    w_new = jnp.minimum(w_prev + 1.0, float(config.max_weight))
+
+    tsdf_out = jnp.where(update, tsdf_new, tsdf_prev).astype(jnp.float16)
+    w_out = jnp.where(update, w_new, w_prev).astype(jnp.uint8)
+
+    # invalid slots are routed out of range so mode="drop" discards them
+    vx_s = jnp.where(ok, vx, X)
+    tsdf_a = F16.at[vx_s, vy, vz].set(tsdf_out, mode="drop")
+    w_a = Wu8.at[vx_s, vy, vz].set(w_out, mode="drop")
+
+    stats = FusionStats(
+        n_band=n_band,
+        n_captured=n_captured,
+        n_updated=jnp.sum(update.astype(jnp.int32)),
+    )
+    return vol._replace(tsdf=tsdf_a, weight=w_a), stats
