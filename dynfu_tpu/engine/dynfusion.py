@@ -42,6 +42,7 @@ from dynfu_tpu.engine.params import DynFuParams
 from dynfu_tpu.mesh import marching_cubes
 from dynfu_tpu.ops import imgproc, knn
 from dynfu_tpu.solver import gn
+from dynfu_tpu.volume import fusion as vfusion
 from dynfu_tpu.volume import tsdf as tv
 from dynfu_tpu.warp import field as wfield
 
@@ -152,7 +153,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     if strict_parity:
         live_n = live_v  # placeholder-normal quirk (dyn_fusion.cpp:126-134)
     else:
-        live_n = tv.extract_normals(vol, live_v, config)
+        live_n = tv.extract_normals(vol, live_v, config, frame="volume")
 
     # warp canonical -> live with the PRE-solve field (dyn_fusion.cpp:203).
     # NOTE: this pass (k-NN of canonical verts vs nodes) can NOT be shared
@@ -184,10 +185,141 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     return vol, wf, wv, wn, live_v, live_n, live_m, mesh_verts, n_verts, stats
 
 
+class FusionFrameStats(NamedTuple):
+    """FrameStats analog for the fusion-mode frame: same observability
+    scalars plus the canonical-volume band-compaction counters."""
+
+    solve: gn.SolveStats
+    mc_dropped: jnp.ndarray  # () int32
+    corr_dropped: jnp.ndarray  # () int32
+    band: vfusion.FusionStats
+
+
+def _apply_rows(pose, p):
+    """(R, t) applied to (N, 3) points by broadcast sums — the TPU-safe
+    formulation (an (N,3)x(3,3) HIGHEST matmul triggers a pathological
+    XLA tiling; see volume/tsdf.py integrate)."""
+    R, t = pose
+    return (p[:, 0:1] * R[None, :, 0] + p[:, 1:2] * R[None, :, 1]
+            + p[:, 2:3] * R[None, :, 2] + t)
+
+
+@functools.partial(jax.jit, static_argnames=("dp", "intr", "config"))
+def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
+                  pose, *, dp, intr, config):
+    """Frame k of the PERSISTENT-canonical pipeline (mode="fusion") as one
+    XLA program — the DynamicFusion fusion model (Newcombe et al. §3.3)
+    the reference scaffolded but never built (dyn_fusion.cpp:107-116):
+
+      dists/points -> warp canonical -> PROJECTIVE correspondence against
+      the live depth vertex map -> GN solve -> warped-back TSDF integration
+      into the canonical volume -> marching cubes re-extraction of the
+      canonical surface -> node insertion.
+
+    Unlike the parity path the canonical volume is never cleared: every
+    frame's observations accumulate through the warp, which averages away
+    single-frame depth quantization and is the path below the parity
+    pipeline's voxel-discretization error floor.
+    """
+    H, W = depth_mm.shape
+    dists = imgproc.compute_dists(depth_mm, intr)
+    live_pts, live_ns = imgproc.compute_points_normals(depth_mm, intr)
+
+    # warp canonical -> live with the pre-solve field; reuse the neighbor
+    # pass AT THE WARPED POSITIONS as the solver's data graph (incremental
+    # convention: the engine always hands the solver warped positions, so
+    # the solved translations compose onto the current node DQs).
+    wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
+    data_idx, _, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
+        wf, wv, dp.knn)
+
+    # projective association: project each warped vertex into the live
+    # image and take the depth vertex + normal at that pixel
+    # (proj_icp.cu:42-99's O(N) image-space association, vs the
+    # reference's 1-NN mesh search)
+    cam_from_vol = se3.compose(se3.inverse(pose), (vol.pose_r, vol.pose_t))
+    vc = _apply_rows(cam_from_vol, wv)
+    u = intr.fx * vc[:, 0] / vc[:, 2] + intr.cx
+    v = intr.fy * vc[:, 1] / vc[:, 2] + intr.cy
+    in_img = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (vc[:, 2] > 0)
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
+    lp_cam = live_pts[vi, ui]  # (N, 3), NaN at invalid pixels
+    ln_cam = live_ns[vi, ui]  # (N, 3), NaN at invalid pixels
+    lp_vol = _apply_rows(se3.inverse(cam_from_vol), lp_cam)
+    Rcv, _ = cam_from_vol  # vol->cam rotation; normals go cam->vol via R^T
+    ln_vol = (ln_cam[:, 0:1] * Rcv[None, 0] + ln_cam[:, 1:2] * Rcv[None, 1]
+              + ln_cam[:, 2:3] * Rcv[None, 2])
+    dist2 = jnp.sum((lp_vol - wv) ** 2, axis=-1)
+    # the depth vertex at the floor'd pixel is NOT the closest surface
+    # point — its tangential offset (surface parallax across the pixel) is
+    # a systematic bias that a point-to-point solve would chase, deforming
+    # a perfectly static scene. Project the target onto the live tangent
+    # plane (the point-to-plane trick of projective ICP): the footpoint
+    # wv + n·(lp-wv) n keeps only the normal-distance component.
+    n_dot = jnp.sum(ln_vol * (lp_vol - wv), axis=-1)
+    foot = wv + n_dot[:, None] * ln_vol
+    facing = jnp.sum(ln_vol * wn, axis=-1) > 0.0
+    corr_m = (canonical_m & in_img & jnp.isfinite(lp_cam[:, 0])
+              & jnp.isfinite(ln_cam[:, 0]) & facing
+              & (dist2 < dp.fusion_corr_dist ** 2))
+    lp_vol = jnp.where(corr_m[:, None], foot, 0.0)
+
+    wf, solve_stats = gn.solve(
+        wf, wv, lp_vol, vert_mask=corr_m,
+        graph=(data_idx, n_pos, n_w, n_valid, wv),
+        tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+        lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
+        linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+        nonlinear_iter=dp.solver.nonlinear_iter,
+        num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
+        min_update=dp.fusion_min_update_vox * min(config.voxel_size),
+    )
+
+    # fuse the live observations back into the canonical volume through
+    # the UPDATED field
+    vol, band_stats = vfusion.integrate_warped(
+        vol, wf, dists, pose, intr, config,
+        normals=live_ns, min_cos=dp.fusion_min_cos,
+        max_active=dp.fusion_max_active, dilate=dp.fusion_dilate,
+        knn_k=dp.knn,
+    )
+
+    # re-extract the canonical surface (it grows/refines as observations
+    # accumulate) + TSDF-gradient normals, then insert nodes where the new
+    # surface is unsupported (warp_field.cpp:63-95)
+    mesh_verts, n_verts, mc_dropped = marching_cubes(
+        vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
+        convention="corner",  # consistent with the integrator — see mc.py
+    )
+    new_m = jnp.arange(mesh_verts.shape[0]) < n_verts
+    new_n = tv.extract_normals(vol, mesh_verts, config, frame="volume")
+    wv2, wn2 = wfield.warp_points_normals(wf, mesh_verts, new_n)
+    wf = wfield.update_warpfield(
+        wf, wv2, new_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes
+    )
+
+    corr_dropped = jnp.sum((canonical_m & ~corr_m).astype(jnp.int32))
+    stats = FusionFrameStats(solve_stats, mc_dropped, corr_dropped,
+                             band_stats)
+    return (vol, wf, mesh_verts, new_n, new_m, n_verts, wv2, wn2, stats)
+
+
 class DynFusion(KinFu):
     """Non-rigid fusion engine. Call with (H, W) int32 mm depth images."""
 
-    def __init__(self, params: Optional[DynFuParams] = None, strict_parity: bool = True):
+    def __init__(self, params: Optional[DynFuParams] = None,
+                 strict_parity: bool = True, mode: Optional[str] = None):
+        """mode: "parity" (reference-quirk reproduction, default),
+        "fixed" (reference pipeline with the scaffolded-but-unwired fixes:
+        rigid ICP pose, real MC normals), or "fusion" (persistent canonical
+        volume with warped-back integration — see _fusion_frame)."""
+        if mode is None:
+            mode = "parity" if strict_parity else "fixed"
+        if mode not in ("parity", "fixed", "fusion"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
+        strict_parity = mode == "parity"
         self.dynfu_params = params or DynFuParams.default_params()
         self.strict_parity = strict_parity
         super().__init__(self.dynfu_params.kinfu)
@@ -208,14 +340,19 @@ class DynFusion(KinFu):
         verts, n_verts, _ = marching_cubes(
             self.vol, self.tsdf_config,
             max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
+            # fusion mode needs MC verts consistent with the TSDF sample
+            # positions (see mc.py convention docstring); parity/fixed keep
+            # the reference's half-voxel-shifted meshes
+            convention="corner" if self.mode == "fusion" else "center",
         )
         mask = jnp.arange(verts.shape[0]) < n_verts
         self.mesh_vertices = (verts, n_verts)
         if self.strict_parity:
             normals = verts
         else:
-            world = verts  # volume frame == canonical frame here
-            normals = tv.extract_normals(self.vol, world, self.tsdf_config)
+            # MC verts are volume-frame; ask for volume-frame normals too
+            normals = tv.extract_normals(self.vol, verts, self.tsdf_config,
+                                         frame="volume")
         return Frame(idx, verts, normals, mask)
 
     def _preprocess_nonrigid(self, depth_mm: jnp.ndarray):
@@ -251,6 +388,26 @@ class DynFusion(KinFu):
             )
             self.frame_counter += 1
             return False
+
+        if self.mode == "fusion":
+            # static-camera sequences for now: identity pose increment (the
+            # reference never wires ICP either, dyn_fusion.cpp:102-105);
+            # moving-camera fusion needs ICP against the live depth pyramid
+            self.poses.append(self.poses[-1])
+            c = self.canonical
+            (self.vol, self.warpfield, new_v, new_n, new_m, n_verts, wv2,
+             wn2, self.last_frame_stats) = _fusion_frame(
+                self.vol, self.warpfield, c.vertices, c.normals, c.mask,
+                depth_mm, self.poses[-1],
+                dp=dp, intr=p.intr, config=self.tsdf_config,
+            )
+            self.canonical = Frame(self.frame_counter, new_v, new_n, new_m)
+            self.canonical_warped = Frame(self.frame_counter, wv2, wn2, new_m)
+            self.live = self.canonical_warped
+            self.mesh_vertices = (new_v, n_verts)
+            self.last_solve_stats = self.last_frame_stats.solve
+            self.frame_counter += 1
+            return True
 
         if self.strict_parity:
             # pose: identity increment in parity mode (dyn_fusion.cpp:102-105)

@@ -117,6 +117,20 @@ class DynFuParams:
     max_mc_voxels: int = 1 << 14  # occupied-voxel compaction capacity
     max_new_nodes: int = 256  # node insertions per warpfield update
 
+    # fusion mode (mode="fusion": persistent canonical volume with
+    # warped-back integration — the fusion model of Newcombe et al. §3.3
+    # that the reference's clear+reintegrate workaround stands in for,
+    # dyn_fusion.cpp:107-116)
+    fusion_corr_dist: float = 0.10  # projective-association gate (meters)
+    fusion_max_active: int = 1 << 19  # active-band compaction capacity
+    fusion_dilate: int = 2  # band growth margin (voxels)
+    fusion_min_cos: float = 0.25  # reject grazing observations (view-ray
+    # vs live-normal cosine) — projective-SDF junk otherwise accumulates
+    # at silhouette rims of the persistent volume
+    fusion_min_update_vox: float = 0.1  # per-node update soft-threshold in
+    # voxel units (gn.solve min_update): static scenes stay EXACTLY static
+    # instead of baking per-frame solve jitter into the canonical volume
+
     @staticmethod
     def default_params() -> "DynFuParams":
         return DynFuParams()

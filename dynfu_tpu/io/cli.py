@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     bench.add_argument("--stages", action="store_true",
                        help="report per-stage ms (profiling breakdown) "
                             "instead of end-to-end fps")
+    bench.add_argument("--fusion", action="store_true",
+                       help="benchmark the persistent-canonical fusion mode "
+                            "(fps + canonical/warped error in mm)")
 
     synth = sub.add_parser(
         "synth", help="generate a synthetic deforming depth sequence"
@@ -70,10 +73,14 @@ def main(argv=None) -> int:
 
         enable_compilation_cache()
         from dynfu_tpu.utils.benchmarks import (
-            run_benchmark, run_rigid_benchmark, run_stage_benchmark)
+            run_benchmark, run_fusion_benchmark, run_rigid_benchmark,
+            run_stage_benchmark)
 
         if args.stages:
             result = run_stage_benchmark(volume_dims=args.volume_dims)
+        elif args.fusion:
+            result = run_fusion_benchmark(volume_dims=args.volume_dims,
+                                          frames=args.frames)
         elif args.rigid:
             result = run_rigid_benchmark(volume_dims=args.volume_dims,
                                          frames=args.frames)

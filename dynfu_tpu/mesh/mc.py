@@ -46,12 +46,14 @@ from dynfu_tpu.volume.tsdf import TsdfConfig, TsdfVolume
 MAX_TRIANGLES = 2_000_000  # default vertex-buffer capacity / 3
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_voxels", "max_verts"))
+@functools.partial(jax.jit, static_argnames=("config", "max_voxels", "max_verts",
+                                              "convention"))
 def marching_cubes(
     vol: TsdfVolume,
     config: TsdfConfig,
     max_voxels: int = 1 << 17,
     max_verts: int = 3 * 600_000,
+    convention: str = "center",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Extract the zero isosurface as a triangle soup.
 
@@ -62,7 +64,23 @@ def marching_cubes(
              cap, or max_voxels); 0 means the output is complete).
     Valid vertices are [0, n_verts); the stream is 3 per triangle with the
     reference's ordering.
+
+    ``convention`` picks the voxel coordinate model for emitted vertices:
+
+    * "center" (default): corner i sits at (i+0.5)*voxel_size — the
+      reference's getNodeCoo (marching_cubes.cu:181-189). NOTE this is
+      HALF A VOXEL OFF from where the reference's own integrator puts the
+      TSDF samples (x*voxel_size, tsdf_volume.cu:60), i.e. the reference's
+      meshes are systematically half-voxel-shifted against its volume.
+      Kept as the parity behavior.
+    * "corner": corner i sits at i*voxel_size — consistent with the
+      integrator/raycast/extract_normals sampling. Required by the
+      persistent-canonical fusion pipeline, where the solver would
+      otherwise chase the half-voxel bias every frame and deform a
+      perfectly static scene.
     """
+    if convention not in ("center", "corner"):
+        raise ValueError(f"unknown convention {convention!r}")
     X, Y, Z = config.dims
     vs = np.asarray(config.voxel_size, np.float32)
 
@@ -218,9 +236,10 @@ def marching_cubes(
     v_offsets = jnp.cumsum(occ_nverts) - occ_nverts  # exclusive scan
     total_verts = jnp.minimum(v_offsets[-1] + occ_nverts[-1], max_verts)
 
-    # voxel-center corner positions: (max_voxels, 8, 3)
+    # cube corner positions: (max_voxels, 8, 3); see `convention` docstring
+    shift = 0.5 if convention == "center" else 0.0
     base = jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32)  # (M, 3)
-    corner_pos = (base[:, None, :] + offs[None, :, :] + 0.5) * vs[None, None, :]
+    corner_pos = (base[:, None, :] + offs[None, :, :] + shift) * vs[None, None, :]
 
     # 12 edge-interpolated vertices: (max_voxels, 12, 3)
     ec = tables.EDGE_CORNERS

@@ -146,7 +146,7 @@ def build_graphs(wf: wfield.WarpField, canonical_v, knn_k: int = wfield.KNN):
     static_argnames=(
         "tukey_offset", "psi_data", "lambda_reg", "psi_reg",
         "linear_iter", "cg_tol", "knn_k", "nonlinear_iter",
-        "num_iter", "early_out",
+        "num_iter", "early_out", "min_update",
     ),
 )
 def solve(
@@ -166,6 +166,7 @@ def solve(
     nonlinear_iter: int = 16,
     num_iter: int = 24,
     early_out: bool = True,
+    min_update: float = 0.0,
 ):
     """One warp solve: returns (updated WarpField, SolveStats).
 
@@ -337,4 +338,15 @@ def solve(
     stats = SolveStats(initial_cost, costt, iters, mean_huber)
 
     t = jnp.where(wf.mask[:, None], t, 0.0)
+    if min_update > 0.0:
+        # block soft-threshold (group-lasso prox) on each node's update:
+        # |t| <= min_update -> exactly zero, larger updates shrink by
+        # min_update. A persistent-canonical pipeline needs this: the solve
+        # otherwise fits per-frame observation noise (depth quantization +
+        # TSDF interpolation, ~0.2 mm/frame/node) and warped-back
+        # integration bakes that jitter into the canonical volume forever.
+        # Real motion passes through with a bounded lag <= min_update
+        # (the un-applied part reappears in the next frame's residual).
+        norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
+        t = t * jnp.maximum(0.0, 1.0 - min_update / jnp.maximum(norm, 1e-12))
     return wfield.compose_translations(wf, t), stats

@@ -197,6 +197,86 @@ def run_benchmark(
     }
 
 
+def run_fusion_benchmark(
+    volume_dims: int = 512,
+    frames: int = 12,
+    warmup: int = 3,
+    rows: int = 480,
+    cols: int = 640,
+) -> dict:
+    """Persistent-canonical fusion mode (mode="fusion"): the DynamicFusion
+    fusion model the reference scaffolded but never built
+    (dyn_fusion.cpp:107-116). Reports fps AND the two error figures the
+    BASELINE ≤1 mm bar is about:
+
+    * canonical_err_mm — median |surface - true canonical sphere| of the
+      re-extracted canonical mesh (the persistent model's quality; the
+      parity clear+reintegrate loop pins this to the voxel floor)
+    * warped_err_mm — median |warped surface - true live sphere| (tracking)
+    """
+    intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
+    caps = _caps_for(volume_dims)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(volume_dims,) * 3),
+        **caps,
+    )
+    engine = DynFusion(params, mode="fusion")
+    cx, cy = cols / 2 - 0.5, rows / 2 - 0.5
+    vol_t = np.asarray((-1.5, -1.5, 0.5))
+    radius = 0.5
+
+    n_total = warmup + frames
+    _frames = [
+        sphere_depth((0.004 * i, 0.0, 1.5), radius, rows, cols, 525.0, 525.0,
+                     cx, cy)
+        for i in range(n_total)
+    ]
+
+    for i in range(warmup):
+        engine(_frames[i])
+        wv, _ = engine.warped_cloud()
+        sync(wv)
+
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + frames):
+        engine(_frames[i])
+    wv, _ = engine.warped_cloud()
+    sync(wv)
+    dt = (time.perf_counter() - t0) / frames
+    fps = 1.0 / dt
+
+    def _median_err(verts, mask, center):
+        v = np.asarray(verts)[np.asarray(mask)]
+        return float(np.median(
+            np.abs(np.linalg.norm(v - center, axis=-1) - radius))) * 1e3
+
+    last = warmup + frames - 1
+    warped_err_mm = _median_err(
+        *engine.warped_cloud(),
+        np.asarray((0.004 * last, 0.0, 1.5)) - vol_t)
+    canonical_err_mm = _median_err(
+        engine.canonical.vertices, engine.canonical.mask,
+        np.asarray((0.0, 0.0, 1.5)) - vol_t)
+
+    fs = engine.last_frame_stats
+    assert int(fs.mc_dropped) == 0, "MC capacity overflow during benchmark"
+    assert int(fs.band.n_captured) == int(fs.band.n_band), (
+        "fusion band compaction overflow — raise fusion_max_active")
+
+    return {
+        "metric": f"fusion_mode_fps_{volume_dims}cube",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TARGET_FPS, 4),
+        "frame_ms": round(dt * 1e3, 1),
+        "canonical_err_mm": round(canonical_err_mm, 3),
+        "warped_err_mm": round(warped_err_mm, 3),
+        "n_band": int(fs.band.n_band),
+        "corr_dropped": int(fs.corr_dropped),
+    }
+
+
 def run_stage_benchmark(
     volume_dims: int = 128,
     iters: int = 10,

@@ -59,7 +59,8 @@ def band_budget(config: TsdfConfig, dilate: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "config", "max_active", "dilate", "knn_k"),
+    static_argnames=("intr", "config", "max_active", "dilate", "knn_k",
+                     "min_cos"),
 )
 def integrate_warped(
     vol: TsdfVolume,
@@ -69,6 +70,8 @@ def integrate_warped(
     intr: Intr,
     config: TsdfConfig,
     *,
+    normals: jnp.ndarray | None = None,  # (H, W, 3) camera-frame live normals
+    min_cos: float = 0.0,
     max_active: int = 1 << 19,
     dilate: int = 2,
     knn_k: int = 4,
@@ -78,6 +81,13 @@ def integrate_warped(
     Returns (updated volume, FusionStats). n_captured < n_band signals a
     compaction-capacity overflow (un-updated band voxels); callers should
     size ``max_active`` so it stays equal to n_band.
+
+    With ``normals`` (the live normal map) and ``min_cos`` > 0, observations
+    whose view ray grazes the live surface (cos of the ray/normal angle
+    below ``min_cos``) are REJECTED: projective SDF is unreliable at grazing
+    incidence (the measured distance along the ray vastly overestimates the
+    true surface distance), and in a persistent volume that junk
+    accumulates at silhouette rims instead of being cleared next frame.
     """
     X, Y, Z = config.dims
     vsx, vsy, vsz = config.voxel_size
@@ -133,7 +143,10 @@ def integrate_warped(
     cam_from_vol = se3.compose(se3.inverse(camera_pose),
                                (vol.pose_r, vol.pose_t))
     R, t = cam_from_vol
-    vc = jnp.matmul(p_warp, R.T, precision=jax.lax.Precision.HIGHEST) + t
+    # broadcast-sum transform (an (N,3)x(3,3) HIGHEST matmul risks the
+    # pathological XLA tiling documented in volume/tsdf.py)
+    vc = (p_warp[:, 0:1] * R[None, :, 0] + p_warp[:, 1:2] * R[None, :, 1]
+          + p_warp[:, 2:3] * R[None, :, 2] + t)
     vcx, vcy, vcz = vc[:, 0], vc[:, 1], vc[:, 2]
     u = intr.fx * vcx / vcz + intr.cx
     v = intr.fy * vcy / vcz + intr.cy
@@ -143,10 +156,15 @@ def integrate_warped(
     ui = jnp.clip(ui, 0, W - 1)
     vi = jnp.clip(vi, 0, H - 1)
     Dp = dists.astype(jnp.float32)[vi, ui]
-    sdf = Dp - jnp.sqrt(vcx * vcx + vcy * vcy + vcz * vcz)
+    rnorm = jnp.sqrt(vcx * vcx + vcy * vcy + vcz * vcz)
+    sdf = Dp - rnorm
 
     update = (ok & supported & in_img & (Dp != 0)
               & (sdf >= -config.trunc_dist))
+    if normals is not None and min_cos > 0.0:
+        n_pix = normals[vi, ui]  # camera frame, oriented toward the camera
+        cos_view = -jnp.sum(vc * n_pix, axis=-1) / jnp.maximum(rnorm, 1e-9)
+        update = update & jnp.isfinite(cos_view) & (cos_view > min_cos)
 
     # --- running-average update at the compacted voxels -------------------
     tsdf_prev = F16[vx, vy, vz].astype(jnp.float32)

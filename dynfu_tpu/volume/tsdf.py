@@ -1053,19 +1053,25 @@ def extract_cloud(vol: TsdfVolume, config: TsdfConfig, capacity: int = 1 << 18):
     return jnp.where(mask[:, None], out, 0.0), mask
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "frame"))
 def extract_normals(
-    vol: TsdfVolume, points: jnp.ndarray, config: TsdfConfig
+    vol: TsdfVolume, points: jnp.ndarray, config: TsdfConfig,
+    frame: str = "world",
 ) -> jnp.ndarray:
-    """TSDF-gradient normals at world-frame points (ExtractNormals,
+    """TSDF-gradient normals at `points` (ExtractNormals,
     tsdf_volume.cu:602-679): NaN unless the voxel is in [2, dims-2)³;
-    n = normalize(pose_R * grad)."""
+    n = normalize(pose_R * grad). With frame="volume" the points are
+    volume-frame (marching-cubes output) and the normals are returned in
+    the volume frame too (no pose transform on either side)."""
     X, Y, Z = config.dims
     vs = jnp.asarray(config.voxel_size, jnp.float32)
     vs_inv = 1.0 / vs
     gradient_delta = vs * config.gradient_delta_factor
 
-    p_vol = _mm(points - vol.pose_t, vol.pose_r)  # Rinv * (p - t)
+    if frame == "volume":
+        p_vol = points
+    else:
+        p_vol = _mm(points - vol.pose_t, vol.pose_r)  # Rinv * (p - t)
     g = jnp.rint(p_vol * vs_inv).astype(jnp.int32)
     inside = (
         (g[..., 0] > 1) & (g[..., 0] < X - 2)
@@ -1073,5 +1079,6 @@ def extract_normals(
         & (g[..., 2] > 1) & (g[..., 2] < Z - 2)
     )
     n = _compute_normal(vol.tsdf, p_vol, vs_inv, gradient_delta)
-    n = _mm(n, vol.pose_r.T)  # aff.R * n
+    if frame != "volume":
+        n = _mm(n, vol.pose_r.T)  # aff.R * n
     return jnp.where(inside[..., None], n, _QNAN)

@@ -1,0 +1,91 @@
+"""Engine-level fusion mode (mode="fusion"): persistent canonical volume
+with warped-back integration — the DynamicFusion fusion model the
+reference's clear+reintegrate loop stands in for (dyn_fusion.cpp:107-116).
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dynfu_tpu.engine.dynfusion import DynFusion
+
+from test_pipeline import (CENTER, RADIUS, small_dynfu_params, sphere_depth,
+                           surface_error)
+
+VOL_T = np.asarray((-0.5, -0.5, 0.25))
+
+
+def _run(frames, **engine_kw):
+    df = DynFusion(small_dynfu_params(), mode="fusion", **engine_kw)
+    for f in frames:
+        df(f)
+    return df
+
+
+def test_fusion_tracks_and_accumulates():
+    """Tracking a translating sphere: warped canonical lands on the live
+    surface, the canonical volume is NEVER cleared (weights accumulate
+    beyond a single frame's worth), and the canonical surface stays at the
+    canonical (frame-0) position."""
+    seq = [sphere_depth((CENTER[0] + 0.004 * i, CENTER[1], CENTER[2]), RADIUS)
+           for i in range(5)]
+    df = _run(seq)
+
+    # weight accumulation: clear+reintegrate caps weights at 1 everywhere;
+    # persistent fusion accumulates one observation per frame
+    w = np.asarray(df.vol.weight)
+    assert w.max() >= 4, f"max weight {w.max()} — volume was cleared?"
+
+    # warped canonical tracks the live surface
+    wv, wm = df.warped_cloud()
+    cen_live = np.asarray((CENTER[0] + 0.016, CENTER[1], CENTER[2])) - VOL_T
+    werr = surface_error(wv, np.asarray(wm), cen_live, RADIUS)
+    assert np.median(werr) < 0.008, f"median warped err {np.median(werr)}"
+
+    # canonical surface stays at the canonical position (it must NOT drift
+    # toward the live pose — that's what the warp is for)
+    cv, cm = df.canonical.vertices, np.asarray(df.canonical.mask)
+    cerr = surface_error(cv, cm, np.asarray(CENTER) - VOL_T, RADIUS)
+    assert np.median(cerr) < 0.008, f"median canonical err {np.median(cerr)}"
+
+    # observability: healthy run has no capacity overflow
+    fs = df.last_frame_stats
+    assert int(fs.mc_dropped) == 0
+    assert int(fs.band.n_captured) == int(fs.band.n_band)
+    assert int(fs.band.n_updated) > 0
+
+
+def test_fusion_beats_single_frame_discretization():
+    """Re-observing a STATIC sphere must reduce canonical surface error
+    below the frame-1 level (supersampling across frames averages out depth
+    quantization + point-sampling noise) — the property the parity
+    clear+reintegrate loop cannot have."""
+    f = sphere_depth(CENTER, RADIUS)
+    cen_vol = np.asarray(CENTER) - VOL_T
+
+    df = DynFusion(small_dynfu_params(), mode="fusion")
+    df(f)
+    e0 = np.median(surface_error(df.canonical.vertices,
+                                 np.asarray(df.canonical.mask),
+                                 cen_vol, RADIUS))
+    for _ in range(6):
+        df(f)
+    e1 = np.median(surface_error(df.canonical.vertices,
+                                 np.asarray(df.canonical.mask),
+                                 cen_vol, RADIUS))
+    assert e1 <= e0 * 1.05, (e0, e1)  # must not get worse
+    # and the warp stays ~identity (no spurious deformation invented)
+    wv, wm = df.warped_cloud()
+    werr = np.median(surface_error(wv, np.asarray(wm), cen_vol, RADIUS))
+    assert werr < 0.006
+
+
+def test_fusion_mode_flag_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        DynFusion(small_dynfu_params(), mode="bogus")
+    assert DynFusion(small_dynfu_params()).mode == "parity"
+    assert DynFusion(small_dynfu_params(), strict_parity=False).mode == "fixed"
