@@ -1,0 +1,184 @@
+"""The REAL DynFusion engine frame under a device mesh.
+
+`dist/spmd.py` shards a reduced demo pipeline (raycast-sourced vertices).
+This module puts the engine's actual per-frame programs — including
+marching cubes, windowed 1-NN correspondence, Gauss-Newton solve and node
+insertion (`engine/dynfusion._nonrigid_frame`), and the persistent-canonical
+fusion frame (`_fusion_frame`) — under a `jax.sharding.Mesh`, the multi-chip
+mandate of SURVEY §2/§7 that has no counterpart in the single-GPU reference.
+
+Sharding layout (1-D mesh, axis "x"):
+
+* TSDF volume block-partitioned along its x axis: P('x', None, None).
+  integrate/raycast/marching-cubes stencils that cross block faces (the
+  ±1-voxel cube corners of MC, raycast's interpolation taps) are handled by
+  the XLA SPMD partitioner, which materializes exactly the halo exchanges a
+  hand-written ppermute would: a shifted-slice read like F[1:, ...] on a
+  blocked array lowers to a CollectivePermute of the one boundary plane
+  over ICI. This is the TPU-first formulation of the reference-era
+  "halo exchange" — declare the layout, let the compiler place the
+  collectives — and `tests/test_dist.py::test_sharded_engine_frame_matches`
+  proves the stitched result is bit-identical to one device.
+* Vertex-indexed buffers (canonical frame, MC output) row-sharded: P('x').
+  The dense-strip GN normal equations then assemble per-shard partials that
+  GSPMD reduces with one psum (the Schur-style reduction).
+* Node state (WarpField) replicated — it is small (<= 1k nodes) and every
+  shard's vertices may reference any node.
+
+Provenance: the reference is single-process single-GPU (SURVEY §2 — no
+DP/TP/PP, transport is cudaMemcpy only); this layer is the capability the
+TPU build adds on top.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dynfu_tpu.engine import dynfusion as dyn
+from dynfu_tpu.engine.params import DynFuParams
+from dynfu_tpu.solver import gn
+from dynfu_tpu.volume import tsdf as tv
+from dynfu_tpu.warp import field as wfield
+
+
+def _shardings(mesh: Mesh):
+    blocked = NamedSharding(mesh, P("x", None, None))
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("x"))
+    vol_s = tv.TsdfVolume(tsdf=blocked, weight=blocked, pose_r=repl,
+                          pose_t=repl)
+    wf_s = jax.tree_util.tree_map(
+        lambda _: repl, wfield.WarpField(pos=0, dqs=0, w=0, mask=0, count=0))
+    return blocked, repl, rows, vol_s, wf_s
+
+
+def sharded_engine_frame(
+    mesh: Mesh,
+    dp: DynFuParams,
+    intr,
+    config: tv.TsdfConfig,
+    strict_parity: bool = True,
+    integrate_mode: str = "separable",
+):
+    """The engine's `_nonrigid_frame` jitted over `mesh`.
+
+    Returns step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
+    pose) with the same signature/outputs as the single-chip program:
+    (vol, wf, wv, wn, live_v, live_n, live_m, mesh_verts, n_verts, stats).
+
+    Inputs must be placed accordingly (`place_engine_state` does it); the
+    outputs keep the volume blocked and the vertex buffers row-sharded so
+    frames chain without host round-trips.
+    """
+    blocked, repl, rows, vol_s, wf_s = _shardings(mesh)
+
+    def step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose):
+        return dyn._nonrigid_frame(
+            vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose,
+            dp=dp, intr=intr, config=config, strict_parity=strict_parity,
+            integrate_mode=integrate_mode,
+        )
+
+    stats_s = dyn.FrameStats(
+        solve=jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0, 0)),
+        mc_dropped=repl, corr_dropped=repl,
+    )
+    out_s = (vol_s, wf_s, rows, rows, rows, rows, rows, rows, repl, stats_s)
+    in_s = (vol_s, wf_s, rows, rows, rows, repl, (repl, repl))
+    return jax.jit(step, in_shardings=in_s, out_shardings=out_s)
+
+
+def sharded_fusion_frame(mesh: Mesh, dp: DynFuParams, intr,
+                         config: tv.TsdfConfig):
+    """The persistent-canonical `_fusion_frame` (mode="fusion") over `mesh`:
+    projective correspondence + GN solve + warped-back band integration +
+    corner-convention MC + node insertion, volume blocked / vertices
+    row-sharded / nodes replicated."""
+    blocked, repl, rows, vol_s, wf_s = _shardings(mesh)
+
+    def step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose):
+        return dyn._fusion_frame(
+            vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose,
+            dp=dp, intr=intr, config=config,
+        )
+
+    stats_s = dyn.FusionFrameStats(
+        solve=jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0, 0)),
+        mc_dropped=repl, corr_dropped=repl,
+        band=jax.tree_util.tree_map(
+            lambda _: repl, dyn.vfusion.FusionStats(0, 0, 0)),
+    )
+    out_s = (vol_s, wf_s, rows, rows, rows, repl, rows, rows, stats_s)
+    in_s = (vol_s, wf_s, rows, rows, rows, repl, (repl, repl))
+    return jax.jit(step, in_shardings=in_s, out_shardings=out_s)
+
+
+def sharding_overhead(n_devices: int = 8, iters: int = 5) -> dict:
+    """Measure the sharded engine frame's wall time on an n-device mesh vs
+    1 device (SURVEY §5 scaling-efficiency measurement). On the virtual CPU
+    mesh this quantifies SPMD partitioning/collective overhead only — all
+    "devices" share the host — so read it as an upper bound on the
+    communication fraction, not as hardware scaling."""
+    import time
+
+    from dynfu_tpu.dist.spmd import make_mesh
+    from dynfu_tpu.engine.dynfusion import DynFusion
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+    from dynfu_tpu.core.camera import Intr
+    from dynfu_tpu.utils.timers import sync
+
+    rows, cols = 120, 160
+    intr = Intr(131.25, 131.25, cols / 2 - 0.5, rows / 2 - 0.5)
+    dim = max(4 * n_devices, 64)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(dim,) * 3),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64,
+    )
+    engine = DynFusion(params)
+    d0 = sphere_depth((0.0, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    d1 = sphere_depth((0.01, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    engine(d0)
+    dp, cfg = engine.dynfu_params, engine.tsdf_config
+    c, pose = engine.canonical, engine.poses[-1]
+    args = (engine.vol, engine.warpfield, c.vertices, c.normals, c.mask,
+            jnp.asarray(d1, jnp.int32), pose)
+
+    out = {}
+    for n in (1, n_devices):
+        mesh = make_mesh(n)
+        step = sharded_engine_frame(mesh, dp, intr, cfg, strict_parity=True)
+        placed = place_engine_state(mesh, *args)
+        r = step(*placed)  # compile + warm
+        sync(r[8])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = step(*placed)
+        sync(r[8])
+        out[f"ms_{n}dev"] = round(
+            (time.perf_counter() - t0) / iters * 1e3, 2)
+    out["overhead_x"] = round(out[f"ms_{n_devices}dev"] / out["ms_1dev"], 3)
+    return out
+
+
+def place_engine_state(mesh: Mesh, vol, wf, canonical_v, canonical_n,
+                       canonical_m, depth_mm, pose):
+    """device_put engine state onto the mesh with the layout the sharded
+    frame programs expect."""
+    blocked, repl, rows, _, _ = _shardings(mesh)
+    put = jax.device_put
+    vol = tv.TsdfVolume(put(vol.tsdf, blocked), put(vol.weight, blocked),
+                        put(vol.pose_r, repl), put(vol.pose_t, repl))
+    wf = jax.tree_util.tree_map(lambda x: put(x, repl), wf)
+    return (vol, wf, put(canonical_v, rows), put(canonical_n, rows),
+            put(canonical_m, rows), put(depth_mm, repl),
+            jax.tree_util.tree_map(lambda x: put(x, repl), pose))
