@@ -146,7 +146,8 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     vol = integrate_fn(vol, dists, pose, intr, config)
 
     mesh_verts, n_verts, mc_dropped = marching_cubes(
-        vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices
+        vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
+        col_budget=dp.mc_col_budget,
     )
     live_m = jnp.arange(mesh_verts.shape[0]) < n_verts
     live_v = mesh_verts
@@ -282,7 +283,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         vol, wf, dists, pose, intr, config,
         normals=live_ns, min_cos=dp.fusion_min_cos,
         max_active=dp.fusion_max_active, dilate=dp.fusion_dilate,
-        knn_k=dp.knn,
+        knn_k=dp.knn, col_budget=dp.mc_col_budget,
     )
 
     # re-extract the canonical surface (it grows/refines as observations
@@ -291,6 +292,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     mesh_verts, n_verts, mc_dropped = marching_cubes(
         vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
         convention="corner",  # consistent with the integrator — see mc.py
+        col_budget=dp.mc_col_budget,
     )
     new_m = jnp.arange(mesh_verts.shape[0]) < n_verts
     new_n = tv.extract_normals(vol, mesh_verts, config, frame="volume")
@@ -344,6 +346,7 @@ class DynFusion(KinFu):
             # positions (see mc.py convention docstring); parity/fixed keep
             # the reference's half-voxel-shifted meshes
             convention="corner" if self.mode == "fusion" else "center",
+            col_budget=dp.mc_col_budget,
         )
         mask = jnp.arange(verts.shape[0]) < n_verts
         self.mesh_vertices = (verts, n_verts)

@@ -115,6 +115,9 @@ class DynFuParams:
     max_vertices: int = 1 << 16
     max_triangles: int = 2 << 20  # reference preallocates 6M points (marching_cubes.cpp:23)
     max_mc_voxels: int = 1 << 14  # occupied-voxel compaction capacity
+    mc_col_budget: int = 0  # per-z-column MC cell budget (0 = auto from the
+    # truncation band; raise for scenes with z-parallel planes — floors —
+    # whose columns are fully occupied; FrameStats.mc_dropped is the signal)
     max_new_nodes: int = 256  # node insertions per warpfield update
 
     # fusion mode (mode="fusion": persistent canonical volume with

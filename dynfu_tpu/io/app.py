@@ -36,6 +36,7 @@ def run_dataset(
     checkpoint_every: int = 0,
     resume: Optional[str] = None,
     rigid: bool = False,
+    mode: Optional[str] = None,
 ) -> int:
     if rigid:
         return run_dataset_rigid(dataset, out_dir=out_dir, max_frames=max_frames,
@@ -63,7 +64,7 @@ def run_dataset(
         )
         params = dataclasses.replace(params, kinfu=kf)
 
-    engine = DynFusion(params)
+    engine = DynFusion(params, mode=mode)
     start = 0
     if resume:
         from dynfu_tpu.utils.checkpoint import load_checkpoint

@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     run.add_argument("--resume", default=None, help="checkpoint to resume from")
     run.add_argument("--rigid", action="store_true",
                      help="run the rigid kfusion pipeline instead of DynFusion")
+    run.add_argument("--mode", default=None,
+                     choices=["parity", "fixed", "fusion"],
+                     help="DynFusion engine mode (default: parity; 'fusion' "
+                          "= persistent canonical volume)")
 
     bench = sub.add_parser("bench", help="run the synthetic benchmark")
     bench.add_argument("--volume-dims", type=int, default=128)
@@ -67,6 +71,7 @@ def main(argv=None) -> int:
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,
             rigid=args.rigid,
+            mode=args.mode,
         )
     if args.cmd == "bench":
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache

@@ -47,13 +47,14 @@ MAX_TRIANGLES = 2_000_000  # default vertex-buffer capacity / 3
 
 
 @functools.partial(jax.jit, static_argnames=("config", "max_voxels", "max_verts",
-                                              "convention"))
+                                              "convention", "col_budget"))
 def marching_cubes(
     vol: TsdfVolume,
     config: TsdfConfig,
     max_voxels: int = 1 << 17,
     max_verts: int = 3 * 600_000,
     convention: str = "center",
+    col_budget: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Extract the zero isosurface as a triangle soup.
 
@@ -156,9 +157,13 @@ def marching_cubes(
         # no capacity overflows (overflow surfaces in n_dropped).
         #
         # per-column candidate budget: the occupied band is ~2*trunc/voxel
-        # cells per surface crossing; budget two crossings + margin
-        K = min(64, 4 + 4 * max(1, int(np.ceil(config.trunc_dist
-                                               / config.voxel_size[2]))))
+        # cells per surface crossing; budget two crossings + margin. Scenes
+        # with z-PARALLEL near-planar geometry (a floor at constant y fills
+        # whole z-columns) need more — pass col_budget (n_dropped > 0 is
+        # the signal; the umbrella dataset's floor is the canonical case).
+        K = col_budget or min(64, 4 + 4 * max(1, int(np.ceil(
+            config.trunc_dist / config.voxel_size[2]))))
+        K = min(K, Z - 1)
         cz = Z - 1
         nwords = (Z + 31) // 32
 

@@ -60,7 +60,7 @@ def band_budget(config: TsdfConfig, dilate: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("intr", "config", "max_active", "dilate", "knn_k",
-                     "min_cos"),
+                     "min_cos", "col_budget"),
 )
 def integrate_warped(
     vol: TsdfVolume,
@@ -75,6 +75,7 @@ def integrate_warped(
     max_active: int = 1 << 19,
     dilate: int = 2,
     knn_k: int = 4,
+    col_budget: int = 0,
 ) -> Tuple[TsdfVolume, FusionStats]:
     """Fuse one live depth frame into the canonical volume through the warp.
 
@@ -105,9 +106,13 @@ def integrate_warped(
         bw = compaction.dilate_z(bw, dilate, Z)
         bw = compaction.dilate_xy(bw, dilate)
     nwords = bw.shape[-1]
+    # col_budget overrides the truncation-band estimate for scenes whose
+    # z-columns fill up (z-parallel planes like floors; n_captured < n_band
+    # is the signal) — same pathology/knob as marching_cubes
+    per_col = min(col_budget or band_budget(config, dilate), Z)
     flat_idx, n_band, n_captured = compaction.extract_columns(
         bw.reshape(X * Y, nwords),
-        per_column=band_budget(config, dilate),
+        per_column=per_col,
         max_cols=min(X * Y, max(max_active // 8, 1 << 15)),
         max_out=max_active,
         row_stride=Z,
