@@ -98,7 +98,7 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
 
 
 def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
-                    live_mask, parity: bool):
+                    live_mask, parity: bool, rescue: int = 0):
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
 
@@ -114,12 +114,14 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
     placeholder vertex copy, so only positions are fetched."""
     if parity:
         out, exact = knn.nn1_gather_xwindow(
-            live_verts, warped_verts, None, warped_mask, live_mask
+            live_verts, warped_verts, None, warped_mask, live_mask,
+            rescue=rescue,
         )
         return out, out, live_mask & exact
     vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
     out, exact = knn.nn1_gather_xwindow(
-        live_verts, warped_verts, vals, warped_mask, live_mask
+        live_verts, warped_verts, vals, warped_mask, live_mask,
+        rescue=rescue,
     )
     return out[:, :3], out[:, 3:], live_mask & exact
 
@@ -163,7 +165,8 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
 
     corr_v, corr_n, corr_m = _correspondence(
-        wv, wn, canonical_m, live_v, live_m, strict_parity
+        wv, wn, canonical_m, live_v, live_m, strict_parity,
+        rescue=dp.corr_rescue,
     )
 
     # full reference schedule (dyn_fusion.cpp:183-189): numIter=24 outer /

@@ -119,6 +119,10 @@ class DynFuParams:
     # truncation band; raise for scenes with z-parallel planes — floors —
     # whose columns are fully occupied; FrameStats.mc_dropped is the signal)
     max_new_nodes: int = 256  # node insertions per warpfield update
+    corr_rescue: int = 4096  # wide-window second-pass capacity for
+    # correspondence queries whose x-window exactness certificate fails
+    # (dense x-slab geometries, e.g. sphere pole caps); rescued queries get
+    # their exact 1-NN, the remainder counts in FrameStats.corr_dropped
 
     # fusion mode (mode="fusion": persistent canonical volume with
     # warped-back integration — the fusion model of Newcombe et al. §3.3

@@ -305,85 +305,72 @@ def nn1_gather_sorted(
     return vals, exact
 
 
-@functools.partial(jax.jit, static_argnames=("block", "window_blocks"))
-def nn1_gather_xwindow(
-    queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (e.g. marching-cubes
-    #                         emission order); sortedness affects only how
-    #                         many certificates pass, never correctness
-    points: jnp.ndarray,  # (P, 3)
-    values: jnp.ndarray | None = None,  # (P, F); None fetches the points
-    point_mask: jnp.ndarray | None = None,
-    query_mask: jnp.ndarray | None = None,
-    block: int = 4096,
-    window_blocks: int = 3,
-):
-    """Windowed 1-NN + fetch for near-coincident surfaces: (vals, exact).
+def _nn1_brute_subset(qs, ps, vs, chunk: int = 32768):
+    """Exact 1-NN + fetch for a SMALL query set vs ALL points: streaming
+    running-min over point chunks (R x chunk elementwise distances on the
+    VPU, winners fetched per chunk by one-hot matmul). No certificate —
+    every point is examined, so the result is exact by construction.
+    Returns (vals (R, F), found (R,)); found is False only for queries
+    with no finite-distance point (BIG-masked query or empty point set).
+    Ties resolve to the lowest point INDEX in ps order (= lowest x for the
+    x-sorted arrays used here, matching the windowed pass)."""
+    R = qs.shape[0]
+    P = ps.shape[0]
+    F = vs.shape[1]
+    pad = (-P) % chunk
+    ps = jnp.pad(ps, ((0, pad), (0, 0)), constant_values=3e38)
+    vs = jnp.pad(vs, ((0, pad), (0, 0)))
+    nchunks = ps.shape[0] // chunk
+    iota_c = jnp.arange(chunk, dtype=jnp.int32)
 
-    The successor of `nn1_gather_sorted` tuned on the v5e (scripts/
-    ubench_corr.py): at the 512-cube workload (Q=P=262k) the round-1
-    formulation spent ~72 ms in a K-padded-to-128 HIGHEST distance matmul
-    and ~27 ms in three payload sorts; this version
-      * computes window distances with unrolled elementwise broadcasts
-        (the K=3 contraction wastes 125/128 of the MXU; the VPU form is
-        2.4x faster and exact),
-      * sorts ONLY the points along x (queries arrive nearly sorted from
-        marching cubes' x-major emission; results are written back in
-        query order, so the query sort AND the un-sort disappear),
-      * keeps the one-hot bf16 value fetch and the per-query exactness
-        certificate of `nn1_gather_sorted` (see there for the proof; a
-        query whose window cannot be certified reports exact=False and
-        must be masked by the caller — the engine counts these drops in
-        FrameStats.corr_dropped).
-    """
-    Q = queries.shape[0]
-    P = points.shape[0]
-    vals_in = points if values is None else values
-    F = vals_in.shape[1]
+    def body(c, carry):
+        best_d, best_v = carry
+        pb = jax.lax.dynamic_slice_in_dim(ps, c * chunk, chunk, 0)
+        vb = jax.lax.dynamic_slice_in_dim(vs, c * chunk, chunk, 0)
+        valid_p = pb[:, 0] < 1e37
+        pbz = jnp.where(valid_p[:, None], pb, 0.0)
+        dx = qs[:, 0:1] - pbz[None, :, 0].reshape(1, chunk)
+        dy = qs[:, 1:2] - pbz[None, :, 1].reshape(1, chunk)
+        dz = qs[:, 2:3] - pbz[None, :, 2].reshape(1, chunk)
+        d = dx * dx + dy * dy + dz * dz
+        d = jnp.where(valid_p[None, :], d, _INF)
+        j = jnp.argmin(d, axis=-1)
+        dbest = jnp.min(d, axis=-1)
+        oh = (iota_c[None, :] == j[:, None]).astype(jnp.float32)
+        vals = _onehot_fetch(oh, vb)
+        take = dbest < best_d  # strict: earlier chunks win ties
+        return (jnp.where(take, dbest, best_d),
+                jnp.where(take[:, None], vals, best_v))
+
+    d0 = jnp.full((R,), _INF, jnp.float32)
+    v0 = jnp.zeros((R, F), jnp.float32)
+    best_d, best_v = jax.lax.fori_loop(0, nchunks, body, (d0, v0))
+    return best_v, best_d < 1e37
+
+
+def _xwindow_sweep(qs, ps, vs, block: int, window_blocks: int):
+    """One windowed 1-NN pass: (vals (Qp, F), exact (Qp,)).
+
+    qs (Qp, 3) centered queries in blocks of `block` (invalid slots carry
+    x >= 1e37), ps (P, 3) the x-SORTED centered points with invalid slots
+    pushed to BIG, vs (P, F) their fetch payload. Each query block gets a
+    window_blocks*block-point window of x-neighboring points; the
+    per-query exactness certificate compares the best distance against
+    the x-gap to the excluded ranges (any excluded point is at least that
+    far away, so `exact` implies the TRUE global 1-NN was found)."""
+    P = ps.shape[0]
     W = window_blocks * block
-    BIG = jnp.float32(3e38)
-
-    if point_mask is not None:
-        valid_p_in = point_mask
-    else:
-        valid_p_in = jnp.ones((P,), bool)
-    # cancellation control (see nn1_gather): center on the valid cloud
-    denom = jnp.maximum(jnp.sum(valid_p_in.astype(jnp.float32)), 1.0)
-    center = jnp.sum(jnp.where(valid_p_in[:, None], points, 0.0), axis=0) / denom
-    queries = queries - center
-    points = points - center
-
-    pts = jnp.where(valid_p_in[:, None], points, BIG)
-    qs = queries
-    if query_mask is not None:
-        qs = jnp.where(query_mask[:, None], qs, BIG)
-
-    # sort points by x, carrying y/z (+ explicit value columns if any)
-    if values is None:
-        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2])
-    else:
-        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
-            values[:, f] for f in range(F)
-        )
-    p_sorted = jax.lax.sort(p_ops, num_keys=1)
-    ps = jnp.stack(p_sorted[:3], axis=1)  # (P, 3)
-    if values is None:
-        # fetched values are the (centered) sorted coordinates; un-center after
-        vs = ps
-    else:
-        vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
-
-    padq = (-Q) % block
-    qs = jnp.pad(qs, ((0, padq), (0, 0)), constant_values=BIG)
     nqb = qs.shape[0] // block
     padp = max(W, ((P + block - 1) // block) * block) - P
-    ps = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=BIG)
+    ps = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=3e38)
     vs = jnp.pad(vs, ((0, padp), (0, 0)))
     npb = ps.shape[0] // block
+    F = vs.shape[1]
     iota_w = jnp.arange(W, dtype=jnp.int32)
     block_x0 = ps[::block, 0]  # (npb,) window aligned by VALUE, not rank
 
     def one(i, carry):
-        val_all, dist_all, exact_all = carry
+        val_all, exact_all = carry
         qb = jax.lax.dynamic_slice_in_dim(qs, i * block, block, 0)
         valid_q = qb[:, 0] < 1e37
         nq = jnp.maximum(jnp.sum(valid_q.astype(jnp.float32)), 1.0)
@@ -421,18 +408,114 @@ def nn1_gather_xwindow(
         exact = (dbest <= gap * gap) & valid_q
 
         val_all = jax.lax.dynamic_update_slice_in_dim(val_all, vals, i * block, 0)
-        dist_all = jax.lax.dynamic_update_slice_in_dim(dist_all, dbest, i * block, 0)
         exact_all = jax.lax.dynamic_update_slice_in_dim(exact_all, exact, i * block, 0)
-        return val_all, dist_all, exact_all
+        return val_all, exact_all
 
     val0 = jnp.zeros((nqb * block, F), jnp.float32)
-    d0 = jnp.zeros((nqb * block,), jnp.float32)
     ex0 = jnp.zeros((nqb * block,), bool)
-    val_s, dist_s, ex_s = jax.lax.fori_loop(0, nqb, one, (val0, d0, ex0))
-    vals = val_s[:Q]
+    return jax.lax.fori_loop(0, nqb, one, (val0, ex0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block", "window_blocks", "rescue"))
+def nn1_gather_xwindow(
+    queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (e.g. marching-cubes
+    #                         emission order); sortedness affects only how
+    #                         many certificates pass, never correctness
+    points: jnp.ndarray,  # (P, 3)
+    values: jnp.ndarray | None = None,  # (P, F); None fetches the points
+    point_mask: jnp.ndarray | None = None,
+    query_mask: jnp.ndarray | None = None,
+    block: int = 4096,
+    window_blocks: int = 3,
+    rescue: int = 0,
+):
+    """Windowed 1-NN + fetch for near-coincident surfaces: (vals, exact).
+
+    The successor of `nn1_gather_sorted` tuned on the v5e (scripts/
+    ubench_corr.py): at the 512-cube workload (Q=P=262k) the round-1
+    formulation spent ~72 ms in a K-padded-to-128 HIGHEST distance matmul
+    and ~27 ms in three payload sorts; this version
+      * computes window distances with unrolled elementwise broadcasts
+        (the K=3 contraction wastes 125/128 of the MXU; the VPU form is
+        2.4x faster and exact),
+      * sorts ONLY the points along x (queries arrive nearly sorted from
+        marching cubes' x-major emission; results are written back in
+        query order, so the query sort AND the un-sort disappear),
+      * keeps the one-hot bf16 value fetch and the per-query exactness
+        certificate of `nn1_gather_sorted` (see there for the proof; a
+        query whose window cannot be certified reports exact=False and
+        must be masked by the caller — the engine counts these drops in
+        FrameStats.corr_dropped).
+
+    rescue > 0 adds an exact BRUTE-FORCE pass over up to `rescue`
+    certificate-failed queries (compacted, streamed against ALL points
+    chunk-wise on the VPU). Dense x-slab geometries — sphere pole caps
+    where thousands of points share one x value — defeat any x-window, so
+    the second tier scans everything: rescued queries are exact by
+    construction and only failures BEYOND the `rescue` capacity remain
+    exact=False. Costs ~2 ms at the 512-cube workload (R=4096 vs P=262k
+    elementwise) vs ~3.9k silently dropped correspondences without it.
+    (A windowed second pass was tried first: a 32k-point window still
+    fails for the compacted block that straddles BOTH pole caps — no
+    single window covers two x-extremes of the cloud.)
+    """
+    Q = queries.shape[0]
+    P = points.shape[0]
+    vals_in = points if values is None else values
+    F = vals_in.shape[1]
+    BIG = jnp.float32(3e38)
+
+    if point_mask is not None:
+        valid_p_in = point_mask
+    else:
+        valid_p_in = jnp.ones((P,), bool)
+    # cancellation control (see nn1_gather): center on the valid cloud
+    denom = jnp.maximum(jnp.sum(valid_p_in.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(valid_p_in[:, None], points, 0.0), axis=0) / denom
+    queries = queries - center
+    points = points - center
+
+    pts = jnp.where(valid_p_in[:, None], points, BIG)
+    qs0 = queries
+    if query_mask is not None:
+        qs0 = jnp.where(query_mask[:, None], qs0, BIG)
+
+    # sort points by x, carrying y/z (+ explicit value columns if any)
+    if values is None:
+        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2])
+    else:
+        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
+            values[:, f] for f in range(F)
+        )
+    p_sorted = jax.lax.sort(p_ops, num_keys=1)
+    ps = jnp.stack(p_sorted[:3], axis=1)  # (P, 3)
+    if values is None:
+        # fetched values are the (centered) sorted coordinates; un-center after
+        vs = ps
+    else:
+        vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
+
+    padq = (-Q) % block
+    qs = jnp.pad(qs0, ((0, padq), (0, 0)), constant_values=BIG)
+    val_s, ex_s = _xwindow_sweep(qs, ps, vs, block, window_blocks)
+    vals, exact = val_s[:Q], ex_s[:Q]
+
+    if rescue:
+        R = min(rescue, Q)
+        failed = (qs0[:, 0] < 1e37) & ~exact
+        fidx = jnp.nonzero(failed, size=R, fill_value=Q)[0]
+        fok = fidx < Q
+        fq = jnp.where(fok[:, None], qs0[jnp.minimum(fidx, Q - 1)], BIG)
+        rvals, rfound = _nn1_brute_subset(fq, ps, vs)
+        rex = rfound & fok
+        sidx = jnp.where(rex, fidx, Q)  # Q = out of bounds -> dropped
+        vals = vals.at[sidx].set(rvals, mode="drop")
+        exact = exact.at[sidx].set(True, mode="drop")
+
     if values is None:
         vals = vals + center[None, :]  # un-center fetched coordinates
-    return vals, ex_s[:Q]
+    return vals, exact
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

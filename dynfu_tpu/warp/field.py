@@ -93,13 +93,24 @@ def neighbor_features(wf: WarpField, points, k: int = KNN):
     n_valid (Q,k)). This replaces the nanoflann query + per-neighbor struct
     reads of the reference (warp_field.cpp:99-122) — element gathers are the
     one operation this TPU does slowly, so the fetch rides the MXU instead.
+
+    On TPU the whole pass runs as one Pallas kernel (ops/knn_pallas.py)
+    that keeps the (Q, D) distance block in VMEM — the XLA formulation
+    round-trips it through HBM k+1 times. Same selection semantics
+    (ascending, ties to lower index); CPU keeps the XLA path.
     """
     points = jnp.asarray(points, jnp.float32)
     table = jnp.concatenate(
         [wf.pos, wf.dqs, wf.w[:, None], wf.mask[:, None].astype(jnp.float32)],
         axis=1,
     )  # (D, 13)
-    idx, sqd, feats = knn.knn_gather(points, wf.pos, k, table, wf.mask)
+    from dynfu_tpu.ops import knn_pallas
+
+    if knn_pallas.available() and points.ndim == 2:
+        idx, sqd, feats = knn_pallas.knn_gather_tpu(
+            points, wf.pos, k, table, wf.mask)
+    else:
+        idx, sqd, feats = knn.knn_gather(points, wf.pos, k, table, wf.mask)
     return (
         idx,
         sqd,

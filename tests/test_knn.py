@@ -211,3 +211,115 @@ def test_nn1_gather_xwindow_unsorted_queries_still_correct():
     dg = np.sum((queries - got) ** 2, axis=1)
     dw = np.sum((queries - want) ** 2, axis=1)
     assert (dg[exact] <= dw[exact] + 5e-7).all()
+
+
+def test_pallas_knn_gather_matches_xla():
+    """The Pallas TPU kernel (interpret mode on CPU) matches knn_gather:
+    same neighbor sets, distances, and fetched features, including masked
+    slots and a non-multiple-of-tile query count."""
+    from dynfu_tpu.ops import knn_pallas
+
+    rng = np.random.RandomState(7)
+    Q, D, F, k = 700, 200, 13, 8  # Q % tq != 0, D % 128 != 0, F % 8 != 0
+    q = rng.uniform(-1.5, 1.5, (Q, 3)).astype(np.float32)
+    p = rng.uniform(-1.5, 1.5, (D, 3)).astype(np.float32)
+    t = rng.randn(D, F).astype(np.float32)
+    m = np.ones(D, bool)
+    m[150:] = False
+
+    i1, d1, f1 = knn.knn_gather(q, p, k, t, m)
+    i2, d2, f2 = knn_pallas.knn_gather_tpu(q, p, k, t, m, tq=256,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_knn_gather_duplicate_points_tie_order():
+    """Exact duplicates: ties resolve to the LOWER index (nanoflann order)."""
+    from dynfu_tpu.ops import knn_pallas
+
+    p = np.array([[0.5, 0, 0]] * 4 + [[2.0, 0, 0]] * 4, np.float32)
+    q = np.zeros((3, 3), np.float32)
+    t = np.arange(8, dtype=np.float32)[:, None] * np.ones((1, 2), np.float32)
+    idx, _, feats = knn_pallas.knn_gather_tpu(q, p, 4, t, None, tq=128,
+                                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.tile([0, 1, 2, 3], (3, 1)))
+    np.testing.assert_allclose(np.asarray(feats)[..., 0],
+                               np.tile([0.0, 1, 2, 3], (3, 1)))
+
+
+def test_nn1_gather_xwindow_rescue_pole_caps():
+    """Dense x-slabs (thousands of points sharing one x — sphere pole
+    caps) defeat the narrow first-pass window; the rescue pass must
+    recover the exact 1-NN for every failed query."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(13)
+    # two dense slabs at x=0 and x=2 plus a sparse band between
+    slab = lambda x0, n: np.stack(
+        [np.full(n, x0, np.float32),
+         rng.rand(n).astype(np.float32),
+         rng.rand(n).astype(np.float32)], -1)
+    pts = np.concatenate([slab(0.0, 3000), slab(2.0, 3000),
+                          slab(1.0, 200)]).astype(np.float32)
+    order = np.argsort(pts[:, 0], kind="stable")
+    pts = pts[order]
+    queries = pts + rng.randn(*pts.shape).astype(np.float32) * 1e-3
+
+    got_n, exact_n = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), block=256, window_blocks=3)
+    exact_n = np.asarray(exact_n)
+    assert (~exact_n).sum() > 100  # the narrow window really does fail here
+
+    got, exact = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), block=256, window_blocks=3,
+        rescue=8192)
+    got, exact = np.asarray(got), np.asarray(exact)
+    assert exact.all()  # 32*256 = 8192 >= P: rescue window covers everything
+
+    d = ((queries[:, None, :3] - pts[None, :, :3]) ** 2).sum(-1)
+    want = pts[d.argmin(1)]
+    dg = ((queries - got) ** 2).sum(1)
+    dw = ((queries - want) ** 2).sum(1)
+    np.testing.assert_allclose(dg, dw, rtol=1e-4, atol=1e-7)
+
+
+def test_nn1_gather_xwindow_rescue_respects_masks_and_values():
+    """Rescue path: fetched VALUES and masks behave identically to the
+    first pass (masked points never selected, masked queries never
+    rescued)."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(17)
+    n = 2048
+    pts = np.stack([np.zeros(n, np.float32),  # one giant x-slab
+                    rng.rand(n).astype(np.float32),
+                    rng.rand(n).astype(np.float32)], -1)
+    vals = rng.randn(n, 5).astype(np.float32)
+    pmask = np.ones(n, bool)
+    pmask[::3] = False
+    queries = pts + rng.randn(n, 3).astype(np.float32) * 1e-3
+    qmask = np.ones(n, bool)
+    qmask[:100] = False
+
+    got, exact = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals),
+        jnp.asarray(pmask), jnp.asarray(qmask),
+        block=256, window_blocks=2,
+        rescue=2048)
+    got, exact = np.asarray(got), np.asarray(exact)
+    assert not exact[:100].any()  # masked queries stay unexact
+    assert exact[100:].all()
+
+    d = ((queries[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    d[:, ~pmask] = np.inf
+    want = vals[d.argmin(1)]
+    np.testing.assert_allclose(got[100:], want[100:], rtol=1e-4, atol=1e-6)
