@@ -102,24 +102,28 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
 
-    Uses the x-windowed fused 1-NN (ops.knn.nn1_gather_xwindow): live
-    vertices arrive nearly x-sorted from marching cubes' x-major emission,
-    so only the point set is sorted and the distance pass is windowed
-    elementwise work instead of a brute-force distance matrix. Queries whose
-    window-exactness certificate fails (dense x-slabs, e.g. sphere pole
-    caps, can shrink the window below the NN radius) are MASKED OUT of the
-    returned correspondence instead of contributing a possibly-wrong pair —
-    the robust data term loses a few samples rather than gaining outliers
-    (counted in FrameStats.corr_dropped). In parity mode normals are the
-    placeholder vertex copy, so only positions are fetched."""
+    Uses the sort-free windowed fused 1-NN (ops.knn.nn1_gather_iwindow):
+    BOTH clouds arrive nearly x-sorted (live vertices from marching cubes'
+    x-major emission; warped canonical vertices are MC emissions displaced
+    by millimeters), so windows ride the natural order — no sort at all —
+    and the distance pass is windowed elementwise work instead of a
+    brute-force distance matrix. Queries whose order-free exactness
+    certificate fails (e.g. the leading/trailing edges of a moving
+    surface, whose true NN sits ~1 cm away — farther than the per-block
+    window margin) get an exact brute-force rescue pass; only failures
+    beyond the rescue capacity are MASKED OUT of the returned
+    correspondence (counted in FrameStats.corr_dropped) — the robust data
+    term loses those samples rather than gaining possibly-wrong pairs. In
+    parity mode normals are the placeholder vertex copy, so only
+    positions are fetched."""
     if parity:
-        out, exact = knn.nn1_gather_xwindow(
+        out, exact = knn.nn1_gather_iwindow(
             live_verts, warped_verts, None, warped_mask, live_mask,
             rescue=rescue,
         )
         return out, out, live_mask & exact
     vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
-    out, exact = knn.nn1_gather_xwindow(
+    out, exact = knn.nn1_gather_iwindow(
         live_verts, warped_verts, vals, warped_mask, live_mask,
         rescue=rescue,
     )

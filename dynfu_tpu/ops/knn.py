@@ -316,17 +316,13 @@ def _nn1_brute_subset(qs, ps, vs, chunk: int = 32768):
     x-sorted arrays used here, matching the windowed pass)."""
     R = qs.shape[0]
     P = ps.shape[0]
-    F = vs.shape[1]
     pad = (-P) % chunk
     ps = jnp.pad(ps, ((0, pad), (0, 0)), constant_values=3e38)
-    vs = jnp.pad(vs, ((0, pad), (0, 0)))
     nchunks = ps.shape[0] // chunk
-    iota_c = jnp.arange(chunk, dtype=jnp.int32)
 
     def body(c, carry):
-        best_d, best_v = carry
+        best_d, best_j = carry
         pb = jax.lax.dynamic_slice_in_dim(ps, c * chunk, chunk, 0)
-        vb = jax.lax.dynamic_slice_in_dim(vs, c * chunk, chunk, 0)
         valid_p = pb[:, 0] < 1e37
         pbz = jnp.where(valid_p[:, None], pb, 0.0)
         dx = qs[:, 0:1] - pbz[None, :, 0].reshape(1, chunk)
@@ -334,52 +330,65 @@ def _nn1_brute_subset(qs, ps, vs, chunk: int = 32768):
         dz = qs[:, 2:3] - pbz[None, :, 2].reshape(1, chunk)
         d = dx * dx + dy * dy + dz * dz
         d = jnp.where(valid_p[None, :], d, _INF)
-        j = jnp.argmin(d, axis=-1)
+        j = jnp.argmin(d, axis=-1).astype(jnp.int32)
         dbest = jnp.min(d, axis=-1)
-        oh = (iota_c[None, :] == j[:, None]).astype(jnp.float32)
-        vals = _onehot_fetch(oh, vb)
         take = dbest < best_d  # strict: earlier chunks win ties
         return (jnp.where(take, dbest, best_d),
-                jnp.where(take[:, None], vals, best_v))
+                jnp.where(take, c * chunk + j, best_j))
 
     d0 = jnp.full((R,), _INF, jnp.float32)
-    v0 = jnp.zeros((R, F), jnp.float32)
-    best_d, best_v = jax.lax.fori_loop(0, nchunks, body, (d0, v0))
+    j0 = jnp.zeros((R,), jnp.int32)
+    best_d, best_j = jax.lax.fori_loop(0, nchunks, body, (d0, j0))
+    # final fetch: one small (R, F) row gather — the per-chunk one-hot
+    # matmul alternative materializes R x P of bf16 one-hots (~8 GB at the
+    # 512-cube rescue) where this touches R*F elements once
+    best_v = vs[jnp.clip(best_j, 0, vs.shape[0] - 1)]
     return best_v, best_d < 1e37
 
 
-def _xwindow_sweep(qs, ps, vs, block: int, window_blocks: int):
+def _window_bounds(ps, block: int):
+    """Order-free exactness bounds at block granularity for BIG-masked
+    points ps (npb*block, 3): (pre (npb+1,), suf (npb+1,)) where
+    pre[j] = max valid x over blocks < j (pre[0] = -inf) and
+    suf[j] = min valid x over blocks >= j (suf[npb] = +inf). Any point
+    excluded left/right of a window [lo, lo+wb) is then at least
+    (q_x - pre[lo]) / (suf[lo+wb] - q_x) away in x — valid for ANY point
+    order, sorted or not."""
+    npb = ps.shape[0] // block
+    x = ps[:, 0].reshape(npb, block)
+    valid = x < 1e37
+    bmax = jnp.max(jnp.where(valid, x, -jnp.inf), axis=1)
+    bmin = jnp.min(jnp.where(valid, x, jnp.inf), axis=1)
+    pre = jnp.concatenate([jnp.asarray([-jnp.inf], jnp.float32),
+                           jax.lax.cummax(bmax)])
+    suf = jnp.concatenate([
+        jax.lax.cummin(bmin, reverse=True),
+        jnp.asarray([jnp.inf], jnp.float32)])
+    return pre, suf
+
+
+def _window_sweep(qs, ps, vs, lo_blk, pre, suf, block: int,
+                  window_blocks: int):
     """One windowed 1-NN pass: (vals (Qp, F), exact (Qp,)).
 
     qs (Qp, 3) centered queries in blocks of `block` (invalid slots carry
-    x >= 1e37), ps (P, 3) the x-SORTED centered points with invalid slots
-    pushed to BIG, vs (P, F) their fetch payload. Each query block gets a
-    window_blocks*block-point window of x-neighboring points; the
-    per-query exactness certificate compares the best distance against
-    the x-gap to the excluded ranges (any excluded point is at least that
-    far away, so `exact` implies the TRUE global 1-NN was found)."""
-    P = ps.shape[0]
+    x >= 1e37), ps (npb*block, 3) centered points with invalid slots
+    pushed to BIG (any order), vs their fetch payload, lo_blk (nqb,) the
+    window start BLOCK per query block, (pre, suf) the `_window_bounds`
+    certificates. `exact` implies the TRUE global 1-NN was found: every
+    point outside the window is at least gap = min(q_x - pre[lo],
+    suf[lo+wb] - q_x) away, so dbest <= gap^2 certifies optimality."""
     W = window_blocks * block
     nqb = qs.shape[0] // block
-    padp = max(W, ((P + block - 1) // block) * block) - P
-    ps = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=3e38)
-    vs = jnp.pad(vs, ((0, padp), (0, 0)))
     npb = ps.shape[0] // block
     F = vs.shape[1]
     iota_w = jnp.arange(W, dtype=jnp.int32)
-    block_x0 = ps[::block, 0]  # (npb,) window aligned by VALUE, not rank
 
     def one(i, carry):
         val_all, exact_all = carry
         qb = jax.lax.dynamic_slice_in_dim(qs, i * block, block, 0)
         valid_q = qb[:, 0] < 1e37
-        nq = jnp.maximum(jnp.sum(valid_q.astype(jnp.float32)), 1.0)
-        qmid = jnp.sum(jnp.where(valid_q, qb[:, 0], 0.0)) / nq
-        c = jnp.clip(
-            jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1, 0, npb - 1
-        )
-        lo = jnp.clip(c - (window_blocks - 1) // 2, 0,
-                      jnp.maximum(npb - window_blocks, 0))
+        lo = lo_blk[i]
         pb = jax.lax.dynamic_slice_in_dim(ps, lo * block, W, 0)
         vb = jax.lax.dynamic_slice_in_dim(vs, lo * block, W, 0)
 
@@ -397,14 +406,9 @@ def _xwindow_sweep(qs, ps, vs, block: int, window_blocks: int):
         oh = (iota_w[None, :] == j[:, None]).astype(jnp.float32)
         vals = _onehot_fetch(oh, vb)
 
-        # exactness certificate vs the x-ranges outside the window (same
-        # argument as nn1_gather_sorted: any excluded point is at least
-        # the x-gap away; negative gaps clamp to 0)
-        gap_lo = jnp.where(lo > 0,
-                           jnp.maximum(qb[:, 0] - pb[0, 0], 0.0), jnp.inf)
-        gap_hi = jnp.where(lo + window_blocks < npb,
-                           jnp.maximum(pb[-1, 0] - qb[:, 0], 0.0), jnp.inf)
-        gap = jnp.minimum(gap_lo, gap_hi)
+        gap_lo = qb[:, 0] - pre[lo]
+        gap_hi = suf[lo + window_blocks] - qb[:, 0]
+        gap = jnp.maximum(jnp.minimum(gap_lo, gap_hi), 0.0)
         exact = (dbest <= gap * gap) & valid_q
 
         val_all = jax.lax.dynamic_update_slice_in_dim(val_all, vals, i * block, 0)
@@ -498,24 +502,211 @@ def nn1_gather_xwindow(
 
     padq = (-Q) % block
     qs = jnp.pad(qs0, ((0, padq), (0, 0)), constant_values=BIG)
-    val_s, ex_s = _xwindow_sweep(qs, ps, vs, block, window_blocks)
+    W = window_blocks * block
+    padp = max(W, ((P + block - 1) // block) * block) - P
+    ps = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=BIG)
+    vs = jnp.pad(vs, ((0, padp), (0, 0)))
+    npb = ps.shape[0] // block
+    nqb = qs.shape[0] // block
+
+    # window starts: value-aligned via searchsorted on the sorted blocks'
+    # first x (per query block, on its valid-mean x)
+    qx = qs[:, 0].reshape(nqb, block)
+    valid_q = qx < 1e37
+    nq = jnp.maximum(jnp.sum(valid_q, axis=1).astype(jnp.float32), 1.0)
+    qmid = jnp.sum(jnp.where(valid_q, qx, 0.0), axis=1) / nq
+    block_x0 = ps[::block, 0]
+    c = jnp.clip(jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1,
+                 0, npb - 1)
+    lo_blk = jnp.clip(c - (window_blocks - 1) // 2, 0,
+                      max(npb - window_blocks, 0))
+
+    pre, suf = _window_bounds(ps, block)
+    val_s, ex_s = _window_sweep(qs, ps, vs, lo_blk, pre, suf, block,
+                                window_blocks)
     vals, exact = val_s[:Q], ex_s[:Q]
 
     if rescue:
-        R = min(rescue, Q)
-        failed = (qs0[:, 0] < 1e37) & ~exact
-        fidx = jnp.nonzero(failed, size=R, fill_value=Q)[0]
-        fok = fidx < Q
-        fq = jnp.where(fok[:, None], qs0[jnp.minimum(fidx, Q - 1)], BIG)
-        rvals, rfound = _nn1_brute_subset(fq, ps, vs)
-        rex = rfound & fok
-        sidx = jnp.where(rex, fidx, Q)  # Q = out of bounds -> dropped
-        vals = vals.at[sidx].set(rvals, mode="drop")
-        exact = exact.at[sidx].set(True, mode="drop")
+        vals, exact = _brute_rescue(vals, exact, qs0, ps, vs,
+                                    min(rescue, Q))
 
     if values is None:
         vals = vals + center[None, :]  # un-center fetched coordinates
     return vals, exact
+
+
+def _brute_rescue(vals, exact, qs0, ps, vs, R: int):
+    """Replace up to R certificate-failed results with the exact brute 1-NN
+    (compaction + `_nn1_brute_subset` + scatter-back). Failures beyond R
+    keep exact=False (the caller's drop counter is the signal)."""
+    Q = qs0.shape[0]
+    failed = (qs0[:, 0] < 1e37) & ~exact
+    fidx = jnp.nonzero(failed, size=R, fill_value=Q)[0]
+    fok = fidx < Q
+    fq = jnp.where(fok[:, None], qs0[jnp.minimum(fidx, Q - 1)],
+                   jnp.float32(3e38))
+    rvals, rfound = _nn1_brute_subset(fq, ps, vs)
+    rex = rfound & fok
+    sidx = jnp.where(rex, fidx, Q)  # Q = out of bounds -> dropped
+    vals = vals.at[sidx].set(rvals, mode="drop")
+    exact = exact.at[sidx].set(True, mode="drop")
+    return vals, exact
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block", "window_blocks", "rescue"))
+def nn1_gather_iwindow(
+    queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (marching-cubes
+    #                         emission order)
+    points: jnp.ndarray,  # (P, 3) — ALSO nearly x-sorted (e.g. warped
+    #                         canonical vertices: MC order + mm-scale
+    #                         displacements)
+    values: jnp.ndarray | None = None,  # (P, F); None fetches the points
+    point_mask: jnp.ndarray | None = None,
+    query_mask: jnp.ndarray | None = None,
+    block: int = 4096,
+    window_blocks: int = 3,
+    rescue: int = 0,
+):
+    """SORT-FREE windowed 1-NN + fetch: (vals, exact).
+
+    The successor of `nn1_gather_xwindow` for the case where BOTH clouds
+    arrive nearly x-sorted (the engine's correspondence: live marching-
+    cubes vertices vs warped canonical vertices — two meshings of the
+    same surface, both in x-major emission order). Windows are taken over
+    the NATURAL point order, so the x-sort of the point cloud (~9 ms at
+    the 512-cube workload, the largest single cost of the sorted variant)
+    disappears entirely:
+
+      * window choice: each query block picks the point block whose
+        valid-mean x is nearest its own valid-mean x (a small (nqb, npb)
+        argmin) — a heuristic, so it needs no ordering guarantee;
+      * exactness: certified against ORDER-FREE bounds (`_window_bounds`):
+        every point outside the window is at least
+        min(q_x - max_x[excluded left], min_x[excluded right] - q_x)
+        away, whatever the order. The certificate is what makes the
+        result exact, not the sort.
+
+    Certificate failures (grows with cloud disorder) go to the same exact
+    brute-force `rescue` tier as the sorted variant.
+    """
+    Q = queries.shape[0]
+    P = points.shape[0]
+    vals_in = points if values is None else values
+    F = vals_in.shape[1]
+    BIG = jnp.float32(3e38)
+
+    if point_mask is not None:
+        valid_p_in = point_mask
+    else:
+        valid_p_in = jnp.ones((P,), bool)
+    denom = jnp.maximum(jnp.sum(valid_p_in.astype(jnp.float32)), 1.0)
+    center = jnp.sum(jnp.where(valid_p_in[:, None], points, 0.0), axis=0) / denom
+    queries = queries - center
+    points = points - center
+
+    pts = jnp.where(valid_p_in[:, None], points, BIG)
+    qs0 = queries
+    if query_mask is not None:
+        qs0 = jnp.where(query_mask[:, None], qs0, BIG)
+    if values is None:
+        vs = pts  # centered coordinates; un-centered below
+    else:
+        vs = vals_in
+
+    from dynfu_tpu.ops import corr_pallas
+
+    W = window_blocks * block
+    # the Pallas sweep keeps the transposed point set resident in VMEM —
+    # bounded to ~10 MB of the ~16 MB budget
+    if (corr_pallas.available() and values is None
+            and P <= (1 << 18) + 8192):
+        vals, exact = _iwindow_sweep_pallas(qs0, pts, Q, P, W)
+    else:
+        padq = (-Q) % block
+        qs = jnp.pad(qs0, ((0, padq), (0, 0)), constant_values=BIG)
+        padp = max(W, ((P + block - 1) // block) * block) - P
+        ps = jnp.pad(pts, ((0, padp), (0, 0)), constant_values=BIG)
+        vsp = jnp.pad(vs, ((0, padp), (0, 0)))
+        npb = ps.shape[0] // block
+        nqb = qs.shape[0] // block
+
+        # window starts: nearest point block by valid-mean x
+        qx = qs[:, 0].reshape(nqb, block)
+        vq = qx < 1e37
+        nq = jnp.maximum(jnp.sum(vq, axis=1).astype(jnp.float32), 1.0)
+        qmid = jnp.sum(jnp.where(vq, qx, 0.0), axis=1) / nq
+        px = ps[:, 0].reshape(npb, block)
+        vp = px < 1e37
+        npv = jnp.maximum(jnp.sum(vp, axis=1).astype(jnp.float32), 1.0)
+        bmean = jnp.sum(jnp.where(vp, px, 0.0), axis=1) / npv
+        bmean = jnp.where(jnp.any(vp, axis=1), bmean, BIG)
+        c = jnp.argmin(jnp.abs(qmid[:, None] - bmean[None, :]),
+                       axis=1).astype(jnp.int32)
+        lo_blk = jnp.clip(c - (window_blocks - 1) // 2, 0,
+                          max(npb - window_blocks, 0))
+
+        pre, suf = _window_bounds(ps, block)
+        val_s, ex_s = _window_sweep(qs, ps, vsp, lo_blk, pre, suf, block,
+                                    window_blocks)
+        vals, exact = val_s[:Q], ex_s[:Q]
+
+    if rescue:
+        vals, exact = _brute_rescue(vals, exact, qs0, pts, vs,
+                                    min(rescue, Q))
+
+    if values is None:
+        vals = vals + center[None, :]
+    return vals, exact
+
+
+def _iwindow_sweep_pallas(qs0, pts, Q: int, P: int, W: int,
+                          tq: int = 2048, interpret: bool = False):
+    """Window starts + order-free bounds at 128-element granularity, then
+    the Pallas resident-point sweep (ops/corr_pallas.py). Same contract as
+    the `_window_sweep` branch with values=None: (vals (Q,3) CENTERED
+    coords, exact (Q,))."""
+    from dynfu_tpu.ops import corr_pallas
+
+    BIG = jnp.float32(3e38)
+    B = 128
+    Qp = -(-max(Q, tq) // tq) * tq
+    Pp = -(-max(P + 1, W) // B) * B
+    W = min(W, Pp)
+    qsP = jnp.pad(qs0, ((0, Qp - Q), (0, 0)), constant_values=BIG)
+    nqt = Qp // tq
+    npb = Pp // B
+
+    xpad = jnp.full((Pp,), BIG, jnp.float32).at[:P].set(pts[:, 0])
+    xb = xpad.reshape(npb, B)
+    vp = xb < 1e37
+    nv = jnp.maximum(jnp.sum(vp, axis=1).astype(jnp.float32), 1.0)
+    bmean = jnp.sum(jnp.where(vp, xb, 0.0), axis=1) / nv
+    bmean = jnp.where(jnp.any(vp, axis=1), bmean, BIG)
+    bmax = jnp.max(jnp.where(vp, xb, -jnp.inf), axis=1)
+    bmin = jnp.min(jnp.where(vp, xb, jnp.inf), axis=1)
+    pre = jnp.concatenate([jnp.asarray([-jnp.inf], jnp.float32),
+                           jax.lax.cummax(bmax)])
+    suf = jnp.concatenate([jax.lax.cummin(bmin, reverse=True),
+                           jnp.asarray([jnp.inf], jnp.float32)])
+
+    qx = qsP[:, 0].reshape(nqt, tq)
+    vq = qx < 1e37
+    nq = jnp.maximum(jnp.sum(vq, axis=1).astype(jnp.float32), 1.0)
+    qmid = jnp.sum(jnp.where(vq, qx, 0.0), axis=1) / nq
+    c = jnp.argmin(jnp.abs(qmid[:, None] - bmean[None, :]),
+                   axis=1).astype(jnp.int32)
+    lo_el = jnp.clip(c * B - W // 2, 0, Pp - W)
+    lo_el = (lo_el // B) * B
+    lo_b = lo_el // B
+    pre_v = pre[lo_b]
+    suf_v = suf[lo_b + W // B]
+
+    ptsP = jnp.pad(pts, ((0, Pp - P), (0, 0)), constant_values=BIG)
+    vals_p, ex_p = corr_pallas.nn1_window_sweep_tpu(
+        qsP, ptsP, lo_el, pre_v, suf_v, tq=tq, window=W,
+        interpret=interpret)
+    return vals_p[:Q], ex_p[:Q]
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

@@ -285,8 +285,15 @@ def solve(
         return t, iters
 
     def assemble_and_solve(s2_k, t_init):
-        A_data, b = _dense_data_normal(canonical_v, data_idx, data_w, s2_k,
-                                       delta, D)
+        from dynfu_tpu.solver import gram_pallas
+
+        if gram_pallas.available():
+            # fused VMEM assembly (no HBM one-hot strips) on TPU
+            A_data, b = gram_pallas.data_normal_tpu(
+                data_idx, data_w, s2_k, delta, D)
+        else:
+            A_data, b = _dense_data_normal(canonical_v, data_idx, data_w,
+                                           s2_k, delta, D)
         A = A_data + reg_w2 * A_reg
         # inner nonlinear loop: Opt relinearizes `nonlinear_iter` times with
         # the robust weights frozen; the energy is linear in t so every

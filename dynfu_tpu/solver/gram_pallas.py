@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: data-term normal-equation assembly for the GN solver.
+
+Computes A = W^T diag(s2) W (D, D) and b = W^T (s2 * delta) (D, 3) from the
+K-sparse data-weight rows (gn._dense_data_normal's math) in one fused pass:
+
+* the XLA formulation materializes a dense (chunk, D) one-hot strip in HBM
+  per chunk and re-reads it for two HIGH-precision matmuls (~2-3 GB of
+  strip traffic at the 512-cube workload, on top of the matmul passes);
+* this kernel builds the strip in BOTH MXU-native layouts directly in VMEM
+  — Ws (D, TQ) with nodes on sublanes for the left operand, W (TQ, D) with
+  nodes on lanes for the right — so the Gram update is a single
+  (D,TQ)x(TQ,D) contraction per tile with no transposes and no HBM strips.
+
+Precision matches the XLA path's HIGH (3-pass bf16): both operands are
+split hi/lo in bf16 and combined as hi@hi + hi@lo + lo@hi, f32-faithful for
+weight-scale (<=1) values. The reference accumulates the same sums in plain
+f32 atomics (Opt's hypergraph reduction, opt_solver.cpp:56-105).
+
+Provenance: replaces the Opt/Terra JtJ assembly of the reference
+(include/dynfu/utils/terra/energy.t, src/dynfu/utils/opt_solver.cpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _gram_kernel(idxT_ref, wsT_ref, wT_ref, dT_ref, a_ref, b_ref, *, k, D):
+    """One TQ-vertex tile: accumulate A += Ws @ W^T and b += Ws @ delta,
+    everything in the single nodes-on-sublanes (D, TQ) layout (the rhs
+    contraction rides the MXU's transposed-operand path). wsT already
+    carries the s2 scaling (folded outside — one elementwise multiply on
+    (K, N) is cheaper than shipping s2 separately)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        a_ref[:] = jnp.zeros_like(a_ref)
+        b_ref[:] = jnp.zeros_like(b_ref)
+
+    TQ = idxT_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (D, TQ), 0)
+    ws = jnp.zeros((D, TQ), jnp.float32)  # s2-scaled
+    w = jnp.zeros((D, TQ), jnp.float32)  # unscaled
+    for r in range(k):
+        hit = rows == idxT_ref[r:r + 1, :]
+        ws = ws + jnp.where(hit, wsT_ref[r:r + 1, :], 0.0)
+        w = w + jnp.where(hit, wT_ref[r:r + 1, :], 0.0)
+
+    f32 = jnp.float32
+    dn_t = (((1,), (1,)), ((), ()))  # contract the TQ axis of both
+    a_hi = ws.astype(jnp.bfloat16)
+    a_lo = (ws - a_hi.astype(f32)).astype(jnp.bfloat16)
+    b_hi = w.astype(jnp.bfloat16)
+    b_lo = (w - b_hi.astype(f32)).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(a_hi, b_hi, dn_t, preferred_element_type=f32)
+    acc = acc + jax.lax.dot_general(a_hi, b_lo, dn_t,
+                                    preferred_element_type=f32)
+    acc = acc + jax.lax.dot_general(a_lo, b_hi, dn_t,
+                                    preferred_element_type=f32)
+    a_ref[:] = a_ref[:] + acc
+
+    d_hi = dT_ref[:].astype(jnp.bfloat16)
+    d_lo = (dT_ref[:] - d_hi.astype(f32)).astype(jnp.bfloat16)
+    bacc = jax.lax.dot_general(a_hi, d_hi, dn_t, preferred_element_type=f32)
+    bacc = bacc + jax.lax.dot_general(a_hi, d_lo, dn_t,
+                                      preferred_element_type=f32)
+    bacc = bacc + jax.lax.dot_general(a_lo, d_hi, dn_t,
+                                      preferred_element_type=f32)
+    b_ref[:] = b_ref[:] + bacc
+
+
+@functools.partial(jax.jit, static_argnames=("D", "tq", "interpret"))
+def data_normal_tpu(
+    data_idx: jnp.ndarray,  # (N, K) int32 neighbor node ids
+    data_w: jnp.ndarray,  # (N, K) f32 weights (invalid slots = 0)
+    s2: jnp.ndarray,  # (N,) f32 per-vertex robust weight
+    delta: jnp.ndarray,  # (N, 3) f32 data constants
+    D: int,  # node capacity (A is (D, D))
+    tq: int = 256,
+    interpret: bool = False,
+):
+    """(A (D, D) f32, b (D, 3) f32) — drop-in for gn._dense_data_normal."""
+    N, K = data_idx.shape
+    Np = _round_up(max(N, tq), tq)
+    Dp = _round_up(D, 128)
+
+    idx = jnp.full((Np, K), Dp, jnp.int32).at[:N].set(data_idx)
+    w = jnp.zeros((Np, K), jnp.float32).at[:N].set(data_w)
+    ws = w * jnp.pad(s2, (0, Np - N))[:, None]
+    d = jnp.zeros((Np, 8), jnp.float32).at[:N, :3].set(delta)
+
+    grid = (Np // tq,)
+    A, b = pl.pallas_call(
+        functools.partial(_gram_kernel, k=K, D=Dp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tq), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Dp, Dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Dp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((Dp, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx.T, ws.T, w.T, d.T)
+    return A[:D, :D], b[:D, :3]
+
+
+def available() -> bool:
+    import os
+
+    if os.environ.get("DYNFU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"

@@ -323,3 +323,112 @@ def test_nn1_gather_xwindow_rescue_respects_masks_and_values():
     d[:, ~pmask] = np.inf
     want = vals[d.argmin(1)]
     np.testing.assert_allclose(got[100:], want[100:], rtol=1e-4, atol=1e-6)
+
+
+def test_nn1_gather_iwindow_matches_exact_nearly_sorted():
+    """Sort-free windowed 1-NN: nearly-sorted point cloud (locally shuffled
+    MC-like emission), exactness certified without any sort."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(3)
+    base = np.sort(rng.rand(4000).astype(np.float32)) * 2.0
+    pts = np.stack(
+        [base, np.cos(base * 7) * 0.4 + 1.0, np.sin(base * 7) * 0.4 + 1.0],
+        -1).astype(np.float32)
+    perm = np.argsort(np.arange(4000) + rng.randint(-5, 6, 4000),
+                      kind="stable")
+    pts_n = pts[perm]  # nearly sorted
+    queries = pts + rng.randn(4000, 3).astype(np.float32) * 0.003
+    vals = np.concatenate([pts_n, pts_n * 2], 1).astype(np.float32)
+
+    got, exact = knn.nn1_gather_iwindow(
+        jnp.asarray(queries), jnp.asarray(pts_n), jnp.asarray(vals),
+        block=512, rescue=4096)
+    got, exact = np.asarray(got), np.asarray(exact)
+    assert exact.all()  # rescue covers whatever the windows miss
+    d = ((queries[:, None].astype(np.float64)
+          - pts_n[None].astype(np.float64)) ** 2).sum(-1)
+    dg = ((queries - got[:, :3]).astype(np.float64) ** 2).sum(1)
+    assert (dg <= d.min(1) + 1e-7).all()
+
+
+def test_nn1_gather_iwindow_shuffled_points_rescued():
+    """FULLY shuffled points: windows mostly fail, the rescue tier still
+    delivers the exact NN for every query (up to capacity)."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(9)
+    pts = rng.rand(2000, 3).astype(np.float32)
+    pts = pts[rng.permutation(2000)]
+    queries = rng.rand(1000, 3).astype(np.float32)
+    pmask = np.ones(2000, bool)
+    pmask[::5] = False
+
+    got, exact = knn.nn1_gather_iwindow(
+        jnp.asarray(queries), jnp.asarray(pts), None, jnp.asarray(pmask),
+        block=256, rescue=1024)
+    got, exact = np.asarray(got), np.asarray(exact)
+    assert exact.all()
+    d = ((queries[:, None].astype(np.float64)
+          - pts[None].astype(np.float64)) ** 2).sum(-1)
+    d[:, ~pmask] = np.inf
+    dg = ((queries - got).astype(np.float64) ** 2).sum(1)
+    assert (dg <= d.min(1) + 1e-7).all()
+
+
+def test_nn1_gather_iwindow_query_mask_and_drop_count():
+    """Masked queries are never exact; rescue capacity bounds how many
+    failures get repaired."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(21)
+    pts = rng.rand(1024, 3).astype(np.float32)  # unsorted -> many failures
+    queries = rng.rand(1024, 3).astype(np.float32)
+    qmask = np.ones(1024, bool)
+    qmask[:50] = False
+    got, exact = knn.nn1_gather_iwindow(
+        jnp.asarray(queries), jnp.asarray(pts), None, None,
+        jnp.asarray(qmask), block=256, window_blocks=1, rescue=64)
+    exact = np.asarray(exact)
+    assert not exact[:50].any()
+    # rescue=64 can't fix everything on shuffled data: some drops remain,
+    # but at most (valid - window hits - 64) and never negative
+    assert exact.sum() >= 64
+
+
+def test_corr_pallas_sweep_matches_xla_iwindow():
+    """The Pallas resident-point window sweep (interpret mode) matches the
+    XLA iwindow path: same exactness decisions, identical fetched NNs
+    wherever both certify."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(31)
+    P, Q = 5000, 4500
+    base = np.sort(rng.rand(P).astype(np.float32)) * 2.0
+    pts = np.stack([base, np.cos(base * 5) * 0.3, np.sin(base * 5) * 0.3],
+                   -1).astype(np.float32)
+    perm = np.argsort(np.arange(P) + rng.randint(-4, 5, P), kind="stable")
+    pts = pts[perm]
+    queries = pts[:Q] + rng.randn(Q, 3).astype(np.float32) * 0.002
+
+    qj, pj = jnp.asarray(queries), jnp.asarray(pts)
+    # centered inputs, as the caller prepares them
+    cen = pts.mean(0)
+    got, exact = knn._iwindow_sweep_pallas(
+        qj - cen, pj - cen, Q, P, W=2048, tq=512, interpret=True)
+    got = np.asarray(got) + cen
+    exact = np.asarray(exact)
+    assert exact.mean() > 0.95
+
+    d = ((queries[:, None].astype(np.float64)
+          - pts[None].astype(np.float64)) ** 2).sum(-1)
+    dg = ((queries - got).astype(np.float64) ** 2).sum(1)
+    assert (dg[exact] <= d.min(1)[exact] + 1e-7).all()

@@ -262,3 +262,31 @@ def test_huber_weights_computed_on_schedule():
     reg_idx2, _ = wfield.find_neighbors(wf2, wf2.pos, 8)
     hw2 = np.asarray(gn.huber_weights(wf2, reg_idx2, PSI_REG))
     assert hw2[: len(GROUP1)].min() < 1.0
+
+
+def test_gram_pallas_matches_dense_assembly():
+    """The Pallas normal-equation assembly (interpret mode on CPU) matches
+    gn._dense_data_normal to HIGH-precision tolerance."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynfu_tpu.solver import gn, gram_pallas
+
+    rng = np.random.RandomState(42)
+    N, K, D = 1000, 8, 192  # N % tq != 0, D % 128 != 0
+    idx = rng.randint(0, D, (N, K)).astype(np.int32)
+    w = rng.rand(N, K).astype(np.float32)
+    w[rng.rand(N, K) < 0.2] = 0.0  # invalid-slot zeros
+    s2 = rng.rand(N).astype(np.float32)
+    delta = rng.randn(N, 3).astype(np.float32) * 0.01
+
+    A1, b1 = gn._dense_data_normal(None, jnp.asarray(idx), jnp.asarray(w),
+                                   jnp.asarray(s2), jnp.asarray(delta), D)
+    A2, b2 = gram_pallas.data_normal_tpu(
+        jnp.asarray(idx), jnp.asarray(w), jnp.asarray(s2),
+        jnp.asarray(delta), D, tq=256, interpret=True)
+    scale = float(jnp.max(jnp.abs(A1)))
+    np.testing.assert_allclose(np.asarray(A2), np.asarray(A1),
+                               atol=2e-5 * scale, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
+                               atol=1e-6, rtol=2e-4)
