@@ -103,7 +103,6 @@ def test_sharded_engine_frame_matches(mesh):
     the single-device frame (same mesh verts, same solved node state). The
     MC/raycast ±1-voxel stencils across block faces are the halo exchanges,
     inserted by the SPMD partitioner from the shifted-slice reads."""
-    import dataclasses
 
     from dynfu_tpu.dist.engine_spmd import (place_engine_state,
                                             sharded_engine_frame)

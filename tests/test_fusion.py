@@ -8,7 +8,6 @@ oracle the MC and imgproc suites use.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

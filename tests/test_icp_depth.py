@@ -4,7 +4,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from dynfu_tpu.core import se3
 from dynfu_tpu.core.camera import Intr
 from dynfu_tpu.ops import imgproc
 from dynfu_tpu.rigid import icp
@@ -57,7 +56,6 @@ def test_depth_icp_recovers_z_translation():
 
 
 def test_kinfu_get_mesh():
-    import dataclasses
 
     from dynfu_tpu.engine.kinfu import KinFu
     from dynfu_tpu.engine.params import KinFuParams

@@ -2,7 +2,6 @@
 kernel semantics (src/kfusion/cuda/imgproc.cu)."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

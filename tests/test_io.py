@@ -1,7 +1,6 @@
 """IO round-trips, synthetic dataset generation, and the CLI app loop
 end-to-end on a tiny generated dataset."""
 
-import dataclasses
 import os
 
 import numpy as np

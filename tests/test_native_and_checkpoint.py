@@ -33,7 +33,6 @@ def test_native_loader_is_native(tmp_path):
 
 
 def _tiny_engine():
-    import dataclasses
 
     from dynfu_tpu.core.camera import Intr
     from dynfu_tpu.engine.dynfusion import DynFusion

@@ -2,7 +2,6 @@
 gather-based integrate/raycast."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -2,7 +2,6 @@
 raycast + extraction on analytic surfaces."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -2,7 +2,6 @@
 bootstrap, native-loader stress, fixed-mode checkpointing."""
 
 import numpy as np
-import pytest
 
 from dynfu_tpu.utils.device import check_platform, device_count, print_short_device_info
 from dynfu_tpu.dist import init_distributed, is_primary
@@ -43,7 +42,6 @@ def test_native_loader_stress(tmp_path):
 def test_checkpoint_fixed_mode(tmp_path):
     """Checkpoint/resume also round-trips the fixed-mode engine (pose
     history beyond identity)."""
-    import dataclasses
     import sys, os
 
     sys.path.insert(0, os.path.dirname(__file__))
@@ -69,7 +67,6 @@ def test_checkpoint_fixed_mode(tmp_path):
 
 def test_rigid_benchmark_smoke():
     """run_rigid_benchmark executes end-to-end at a consistent tiny config."""
-    from dynfu_tpu.core.camera import Intr
     from dynfu_tpu.utils import benchmarks
 
     r = benchmarks.run_rigid_benchmark(volume_dims=64, frames=2, warmup=1,
