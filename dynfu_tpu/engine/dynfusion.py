@@ -42,6 +42,7 @@ from dynfu_tpu.engine.params import DynFuParams
 from dynfu_tpu.mesh import marching_cubes
 from dynfu_tpu.ops import imgproc, knn
 from dynfu_tpu.solver import gn
+from dynfu_tpu.solver import se3 as se3_solver
 from dynfu_tpu.volume import fusion as vfusion
 from dynfu_tpu.volume import tsdf as tv
 from dynfu_tpu.warp import field as wfield
@@ -98,34 +99,34 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
 
 
 def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
-                    live_mask, parity: bool, rescue: int = 0):
+                    live_mask, parity: bool, rescue: int = 0,
+                    escalate: int = 0):
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
 
-    Uses the sort-free windowed fused 1-NN (ops.knn.nn1_gather_iwindow):
-    BOTH clouds arrive nearly x-sorted (live vertices from marching cubes'
-    x-major emission; warped canonical vertices are MC emissions displaced
-    by millimeters), so windows ride the natural order — no sort at all —
-    and the distance pass is windowed elementwise work instead of a
-    brute-force distance matrix. Queries whose order-free exactness
-    certificate fails (e.g. the leading/trailing edges of a moving
-    surface, whose true NN sits ~1 cm away — farther than the per-block
-    window margin) get an exact brute-force rescue pass; only failures
-    beyond the rescue capacity are MASKED OUT of the returned
-    correspondence (counted in FrameStats.corr_dropped) — the robust data
-    term loses those samples rather than gaining possibly-wrong pairs. In
-    parity mode normals are the placeholder vertex copy, so only
-    positions are fetched."""
+    Uses the x-windowed fused 1-NN (ops.knn.nn1_gather_xwindow): live
+    vertices arrive nearly x-sorted from marching cubes' x-major emission,
+    so only the point set is sorted and the distance pass is windowed
+    elementwise work instead of a brute-force distance matrix (the Pallas
+    resident-point sweep on TPU). Queries whose window-exactness
+    certificate fails split into tiers: moving-edge queries (true NN a few
+    cm away — farther than the base window's x-margin) certify in a 4x
+    `escalate` window; dense x-slab stragglers (e.g. sphere pole caps) get
+    an exact brute-force `rescue` scan; only failures beyond both
+    capacities are MASKED OUT of the returned correspondence (counted in
+    FrameStats.corr_dropped) — the robust data term loses those samples
+    rather than gaining possibly-wrong pairs. In parity mode normals are
+    the placeholder vertex copy, so only positions are fetched."""
     if parity:
-        out, exact = knn.nn1_gather_iwindow(
+        out, exact = knn.nn1_gather_xwindow(
             live_verts, warped_verts, None, warped_mask, live_mask,
-            rescue=rescue,
+            rescue=rescue, escalate=escalate,
         )
         return out, out, live_mask & exact
     vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
-    out, exact = knn.nn1_gather_iwindow(
+    out, exact = knn.nn1_gather_xwindow(
         live_verts, warped_verts, vals, warped_mask, live_mask,
-        rescue=rescue,
+        rescue=rescue, escalate=escalate,
     )
     return out[:, :3], out[:, 3:], live_mask & exact
 
@@ -170,7 +171,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
 
     corr_v, corr_n, corr_m = _correspondence(
         wv, wn, canonical_m, live_v, live_m, strict_parity,
-        rescue=dp.corr_rescue,
+        rescue=dp.corr_rescue, escalate=dp.corr_escalate,
     )
 
     # full reference schedule (dyn_fusion.cpp:183-189): numIter=24 outer /
@@ -236,8 +237,13 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # warp canonical -> live with the pre-solve field; reuse the neighbor
     # pass AT THE WARPED POSITIONS as the solver's data graph (incremental
     # convention: the engine always hands the solver warped positions, so
-    # the solved translations compose onto the current node DQs).
-    wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
+    # the solved transforms compose onto the current node DQs). With
+    # solver_rotations the warp is the PROPER DLB blend (normals rotate;
+    # the reference-quirk DQB cannot blend rotations at all).
+    if dp.solver_rotations:
+        wv, wn = wfield.warp_points_normals_dlb(wf, canonical_v, canonical_n)
+    else:
+        wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
     data_idx, _, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
         wf, wv, dp.knn)
 
@@ -273,16 +279,26 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
               & (dist2 < dp.fusion_corr_dist ** 2))
     lp_vol = jnp.where(corr_m[:, None], foot, 0.0)
 
-    wf, solve_stats = gn.solve(
-        wf, wv, lp_vol, vert_mask=corr_m,
-        graph=(data_idx, n_pos, n_w, n_valid, wv),
-        tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
-        lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
-        linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
-        nonlinear_iter=dp.solver.nonlinear_iter,
-        num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
-        min_update=dp.fusion_min_update_vox * min(config.voxel_size),
-    )
+    if dp.solver_rotations:
+        wf, solve_stats = se3_solver.solve(
+            wf, wv, lp_vol, vert_mask=corr_m,
+            tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+            lambda_reg=dp.lambda_reg,
+            linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+            relinearize=dp.se3_relinearize, incremental=True,
+            min_update=dp.fusion_min_update_vox * min(config.voxel_size),
+        )
+    else:
+        wf, solve_stats = gn.solve(
+            wf, wv, lp_vol, vert_mask=corr_m,
+            graph=(data_idx, n_pos, n_w, n_valid, wv),
+            tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+            lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
+            linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+            nonlinear_iter=dp.solver.nonlinear_iter,
+            num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
+            min_update=dp.fusion_min_update_vox * min(config.voxel_size),
+        )
 
     # fuse the live observations back into the canonical volume through
     # the UPDATED field
@@ -291,6 +307,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         normals=live_ns, min_cos=dp.fusion_min_cos,
         max_active=dp.fusion_max_active, dilate=dp.fusion_dilate,
         knn_k=dp.knn, col_budget=dp.mc_col_budget,
+        blend="dlb" if dp.solver_rotations else "dqb",
     )
 
     # re-extract the canonical surface (it grows/refines as observations
@@ -303,9 +320,13 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     )
     new_m = jnp.arange(mesh_verts.shape[0]) < n_verts
     new_n = tv.extract_normals(vol, mesh_verts, config, frame="volume")
-    wv2, wn2 = wfield.warp_points_normals(wf, mesh_verts, new_n)
+    if dp.solver_rotations:
+        wv2, wn2 = wfield.warp_points_normals_dlb(wf, mesh_verts, new_n)
+    else:
+        wv2, wn2 = wfield.warp_points_normals(wf, mesh_verts, new_n)
     wf = wfield.update_warpfield(
-        wf, wv2, new_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes
+        wf, wv2, new_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes,
+        blend="dlb" if dp.solver_rotations else "dqb",
     )
 
     corr_dropped = jnp.sum((canonical_m & ~corr_m).astype(jnp.int32))

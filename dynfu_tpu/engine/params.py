@@ -42,6 +42,13 @@ class KinFuParams:
     icp_dist_thres: float = 0.1  # meters
     icp_angle_thres: float = _deg2rad(30.0)
     icp_iter_num: Tuple[int, ...] = (10, 5, 4, 0)
+    icp_assoc: str = "stencil"  # "stencil": bounded-window select
+    # association (rigid/icp.py _fetch_stencil — this chip's element
+    # gathers are ~1000x slower than the (2R+1)^2 shifted selects);
+    # "gather": the reference's exact texture-fetch semantics
+    icp_stencil_radii: Tuple[int, ...] = (2, 3, 4, 6)  # per level,
+    # coarse wider (they absorb the raw inter-frame motion; flows beyond
+    # the radius drop out like out-of-image projections)
 
     # tsdf
     tsdf_min_camera_movement: float = 0.0  # meters, disabled
@@ -119,10 +126,15 @@ class DynFuParams:
     # truncation band; raise for scenes with z-parallel planes — floors —
     # whose columns are fully occupied; FrameStats.mc_dropped is the signal)
     max_new_nodes: int = 256  # node insertions per warpfield update
-    corr_rescue: int = 4096  # wide-window second-pass capacity for
-    # correspondence queries whose x-window exactness certificate fails
-    # (dense x-slab geometries, e.g. sphere pole caps); rescued queries get
-    # their exact 1-NN, the remainder counts in FrameStats.corr_dropped
+    corr_escalate: int = 16384  # wide-window second-pass capacity for
+    # correspondence queries whose x-window exactness certificate fails:
+    # up to this many failures are re-swept with a 4x window (moving-edge
+    # queries whose true NN sits a few cm away — farther than the base
+    # window's x-margin — certify there at ~1/10 the base sweep's cost)
+    corr_rescue: int = 4096  # exact brute-force third-tier capacity for
+    # queries still failing after escalation (dense x-slab geometries,
+    # e.g. sphere pole caps, defeat any single x-window); rescued queries
+    # get their exact 1-NN, the remainder counts in FrameStats.corr_dropped
 
     # fusion mode (mode="fusion": persistent canonical volume with
     # warped-back integration — the fusion model of Newcombe et al. §3.3
@@ -134,6 +146,12 @@ class DynFuParams:
     fusion_min_cos: float = 0.25  # reject grazing observations (view-ray
     # vs live-normal cosine) — projective-SDF junk otherwise accumulates
     # at silhouette rims of the persistent volume
+    solver_rotations: bool = False  # solve per-node SE(3) twists
+    # (solver/se3.py) instead of translations-only, and warp through the
+    # proper DLB blend — the capability the reference declared but never
+    # wired (energy.t:30,78). fusion/fixed modes only; parity keeps the
+    # reference's translations-only solve.
+    se3_relinearize: int = 2  # Gauss-Newton relinearizations per frame
     fusion_min_update_vox: float = 0.1  # per-node update soft-threshold in
     # voxel units (gn.solve min_update): static scenes stay EXACTLY static
     # instead of baking per-frame solve jitter into the canonical volume

@@ -1,7 +1,7 @@
 """Pallas TPU kernel: windowed 1-NN + coordinate fetch for correspondence.
 
 The engine's correspondence stage (live marching-cubes vertices vs warped
-canonical vertices, ops/knn.nn1_gather_iwindow) is elementwise-distance
+canonical vertices, ops/knn.nn1_gather_xwindow) is elementwise-distance
 work over per-query-block windows. The XLA formulation materializes each
 (block, W) distance matrix in HBM and re-reads it for min / argmin / the
 one-hot fetch (~13 GB of d-matrix traffic at the 512-cube workload). This

@@ -421,7 +421,7 @@ def _window_sweep(qs, ps, vs, lo_blk, pre, suf, block: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "window_blocks", "rescue"))
+    "block", "window_blocks", "rescue", "escalate", "escalate_factor"))
 def nn1_gather_xwindow(
     queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (e.g. marching-cubes
     #                         emission order); sortedness affects only how
@@ -433,6 +433,8 @@ def nn1_gather_xwindow(
     block: int = 4096,
     window_blocks: int = 3,
     rescue: int = 0,
+    escalate: int = 0,
+    escalate_factor: int = 4,
 ):
     """Windowed 1-NN + fetch for near-coincident surfaces: (vals, exact).
 
@@ -452,17 +454,29 @@ def nn1_gather_xwindow(
         must be masked by the caller — the engine counts these drops in
         FrameStats.corr_dropped).
 
-    rescue > 0 adds an exact BRUTE-FORCE pass over up to `rescue`
-    certificate-failed queries (compacted, streamed against ALL points
-    chunk-wise on the VPU). Dense x-slab geometries — sphere pole caps
-    where thousands of points share one x value — defeat any x-window, so
-    the second tier scans everything: rescued queries are exact by
-    construction and only failures BEYOND the `rescue` capacity remain
-    exact=False. Costs ~2 ms at the 512-cube workload (R=4096 vs P=262k
-    elementwise) vs ~3.9k silently dropped correspondences without it.
-    (A windowed second pass was tried first: a 32k-point window still
-    fails for the compacted block that straddles BOTH pole caps — no
-    single window covers two x-extremes of the cloud.)
+    On TPU with values=None the window sweep runs as the Pallas
+    resident-point kernel (ops/corr_pallas.py): the transposed point set
+    stays in VMEM and distances / argmin / the winner fetch never touch
+    HBM (the XLA sweep re-reads a (block, W) distance matrix from HBM
+    three times).
+
+    Failure tiers (a failure = the per-query exactness certificate cannot
+    prove the window contained the global 1-NN — dense x-slabs like
+    sphere pole caps, or moving-edge queries whose true NN is farther
+    than the window's x-margin):
+
+    * escalate > 0: up to `escalate` failed queries are compacted and
+      re-swept with an `escalate_factor`-times wider window — the margin
+      grows by the same factor, certifying moving-edge queries whose NN
+      sits a few cm away. Cost scales with escalate (16k queries), not Q.
+      A compacted tile can straddle BOTH pole caps (no single window
+      covers two x-extremes) — those queries simply fail again and fall
+      through to the brute tier.
+    * rescue > 0: up to `rescue` still-failed queries get an exact
+      brute-force scan over ALL points (chunk-streamed on the VPU,
+      ~2 ms at R=4096 vs P=262k). Rescued queries are exact by
+      construction; only failures beyond the capacity remain exact=False
+      (the engine counts them in FrameStats.corr_dropped).
     """
     Q = queries.shape[0]
     P = points.shape[0]
@@ -500,32 +514,50 @@ def nn1_gather_xwindow(
     else:
         vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
 
-    padq = (-Q) % block
-    qs = jnp.pad(qs0, ((0, padq), (0, 0)), constant_values=BIG)
-    W = window_blocks * block
-    padp = max(W, ((P + block - 1) // block) * block) - P
-    ps = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=BIG)
-    vs = jnp.pad(vs, ((0, padp), (0, 0)))
-    npb = ps.shape[0] // block
-    nqb = qs.shape[0] // block
+    from dynfu_tpu.ops import corr_pallas
 
-    # window starts: value-aligned via searchsorted on the sorted blocks'
-    # first x (per query block, on its valid-mean x)
-    qx = qs[:, 0].reshape(nqb, block)
-    valid_q = qx < 1e37
-    nq = jnp.maximum(jnp.sum(valid_q, axis=1).astype(jnp.float32), 1.0)
-    qmid = jnp.sum(jnp.where(valid_q, qx, 0.0), axis=1) / nq
-    block_x0 = ps[::block, 0]
-    c = jnp.clip(jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1,
-                 0, npb - 1)
-    lo_blk = jnp.clip(c - (window_blocks - 1) // 2, 0,
-                      max(npb - window_blocks, 0))
+    # the Pallas sweep keeps the transposed point set resident in VMEM —
+    # bounded to ~8.4 MB of the ~16 MB budget
+    use_pallas = (corr_pallas.available() and values is None
+                  and P <= (1 << 18) + 8192)
 
-    pre, suf = _window_bounds(ps, block)
-    val_s, ex_s = _window_sweep(qs, ps, vs, lo_blk, pre, suf, block,
-                                window_blocks)
-    vals, exact = val_s[:Q], ex_s[:Q]
+    def one_pass(qs_c, wb):
+        """One windowed sweep over the SORTED points for BIG-masked
+        centered queries qs_c: (vals CENTERED-if-coords, exact)."""
+        n = qs_c.shape[0]
+        if use_pallas:
+            return _window_pass_pallas(qs_c, ps, n, P, wb * block)
+        padq = (-n) % block
+        qsp = jnp.pad(qs_c, ((0, padq), (0, 0)), constant_values=BIG)
+        W = wb * block
+        padp = max(W, ((P + block - 1) // block) * block) - P
+        psp = jnp.pad(ps, ((0, padp), (0, 0)), constant_values=BIG)
+        vsp = jnp.pad(vs, ((0, padp), (0, 0)))
+        npb = psp.shape[0] // block
+        nqb = qsp.shape[0] // block
 
+        # window starts: value-aligned via searchsorted on the sorted
+        # blocks' first x (per query block, on its valid-mean x)
+        qx = qsp[:, 0].reshape(nqb, block)
+        valid_q = qx < 1e37
+        nq = jnp.maximum(jnp.sum(valid_q, axis=1).astype(jnp.float32), 1.0)
+        qmid = jnp.sum(jnp.where(valid_q, qx, 0.0), axis=1) / nq
+        block_x0 = psp[::block, 0]
+        c = jnp.clip(jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1,
+                     0, npb - 1)
+        lo_blk = jnp.clip(c - (wb - 1) // 2, 0, max(npb - wb, 0))
+
+        pre, suf = _window_bounds(psp, block)
+        val_s, ex_s = _window_sweep(qsp, psp, vsp, lo_blk, pre, suf,
+                                    block, wb)
+        return val_s[:n], ex_s[:n]
+
+    vals, exact = one_pass(qs0, window_blocks)
+
+    if escalate:
+        vals, exact = _scatter_pass(
+            vals, exact, qs0, min(escalate, Q),
+            lambda fq: one_pass(fq, window_blocks * escalate_factor))
     if rescue:
         vals, exact = _brute_rescue(vals, exact, qs0, ps, vs,
                                     min(rescue, Q))
@@ -535,137 +567,38 @@ def nn1_gather_xwindow(
     return vals, exact
 
 
-def _brute_rescue(vals, exact, qs0, ps, vs, R: int):
-    """Replace up to R certificate-failed results with the exact brute 1-NN
-    (compaction + `_nn1_brute_subset` + scatter-back). Failures beyond R
-    keep exact=False (the caller's drop counter is the signal)."""
+def _scatter_pass(vals, exact, qs0, R: int, pass_fn):
+    """Compact up to R certificate-failed queries, run `pass_fn` on the
+    compacted (BIG-padded) query array, scatter back the results that came
+    back exact. Failures beyond R — or still inexact after the pass — keep
+    exact=False (the caller's drop counter is the signal)."""
     Q = qs0.shape[0]
     failed = (qs0[:, 0] < 1e37) & ~exact
     fidx = jnp.nonzero(failed, size=R, fill_value=Q)[0]
     fok = fidx < Q
     fq = jnp.where(fok[:, None], qs0[jnp.minimum(fidx, Q - 1)],
                    jnp.float32(3e38))
-    rvals, rfound = _nn1_brute_subset(fq, ps, vs)
-    rex = rfound & fok
+    rvals, rex = pass_fn(fq)
+    rex = rex & fok
     sidx = jnp.where(rex, fidx, Q)  # Q = out of bounds -> dropped
     vals = vals.at[sidx].set(rvals, mode="drop")
     exact = exact.at[sidx].set(True, mode="drop")
     return vals, exact
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "block", "window_blocks", "rescue"))
-def nn1_gather_iwindow(
-    queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (marching-cubes
-    #                         emission order)
-    points: jnp.ndarray,  # (P, 3) — ALSO nearly x-sorted (e.g. warped
-    #                         canonical vertices: MC order + mm-scale
-    #                         displacements)
-    values: jnp.ndarray | None = None,  # (P, F); None fetches the points
-    point_mask: jnp.ndarray | None = None,
-    query_mask: jnp.ndarray | None = None,
-    block: int = 4096,
-    window_blocks: int = 3,
-    rescue: int = 0,
-):
-    """SORT-FREE windowed 1-NN + fetch: (vals, exact).
-
-    The successor of `nn1_gather_xwindow` for the case where BOTH clouds
-    arrive nearly x-sorted (the engine's correspondence: live marching-
-    cubes vertices vs warped canonical vertices — two meshings of the
-    same surface, both in x-major emission order). Windows are taken over
-    the NATURAL point order, so the x-sort of the point cloud (~9 ms at
-    the 512-cube workload, the largest single cost of the sorted variant)
-    disappears entirely:
-
-      * window choice: each query block picks the point block whose
-        valid-mean x is nearest its own valid-mean x (a small (nqb, npb)
-        argmin) — a heuristic, so it needs no ordering guarantee;
-      * exactness: certified against ORDER-FREE bounds (`_window_bounds`):
-        every point outside the window is at least
-        min(q_x - max_x[excluded left], min_x[excluded right] - q_x)
-        away, whatever the order. The certificate is what makes the
-        result exact, not the sort.
-
-    Certificate failures (grows with cloud disorder) go to the same exact
-    brute-force `rescue` tier as the sorted variant.
-    """
-    Q = queries.shape[0]
-    P = points.shape[0]
-    vals_in = points if values is None else values
-    F = vals_in.shape[1]
-    BIG = jnp.float32(3e38)
-
-    if point_mask is not None:
-        valid_p_in = point_mask
-    else:
-        valid_p_in = jnp.ones((P,), bool)
-    denom = jnp.maximum(jnp.sum(valid_p_in.astype(jnp.float32)), 1.0)
-    center = jnp.sum(jnp.where(valid_p_in[:, None], points, 0.0), axis=0) / denom
-    queries = queries - center
-    points = points - center
-
-    pts = jnp.where(valid_p_in[:, None], points, BIG)
-    qs0 = queries
-    if query_mask is not None:
-        qs0 = jnp.where(query_mask[:, None], qs0, BIG)
-    if values is None:
-        vs = pts  # centered coordinates; un-centered below
-    else:
-        vs = vals_in
-
-    from dynfu_tpu.ops import corr_pallas
-
-    W = window_blocks * block
-    # the Pallas sweep keeps the transposed point set resident in VMEM —
-    # bounded to ~10 MB of the ~16 MB budget
-    if (corr_pallas.available() and values is None
-            and P <= (1 << 18) + 8192):
-        vals, exact = _iwindow_sweep_pallas(qs0, pts, Q, P, W)
-    else:
-        padq = (-Q) % block
-        qs = jnp.pad(qs0, ((0, padq), (0, 0)), constant_values=BIG)
-        padp = max(W, ((P + block - 1) // block) * block) - P
-        ps = jnp.pad(pts, ((0, padp), (0, 0)), constant_values=BIG)
-        vsp = jnp.pad(vs, ((0, padp), (0, 0)))
-        npb = ps.shape[0] // block
-        nqb = qs.shape[0] // block
-
-        # window starts: nearest point block by valid-mean x
-        qx = qs[:, 0].reshape(nqb, block)
-        vq = qx < 1e37
-        nq = jnp.maximum(jnp.sum(vq, axis=1).astype(jnp.float32), 1.0)
-        qmid = jnp.sum(jnp.where(vq, qx, 0.0), axis=1) / nq
-        px = ps[:, 0].reshape(npb, block)
-        vp = px < 1e37
-        npv = jnp.maximum(jnp.sum(vp, axis=1).astype(jnp.float32), 1.0)
-        bmean = jnp.sum(jnp.where(vp, px, 0.0), axis=1) / npv
-        bmean = jnp.where(jnp.any(vp, axis=1), bmean, BIG)
-        c = jnp.argmin(jnp.abs(qmid[:, None] - bmean[None, :]),
-                       axis=1).astype(jnp.int32)
-        lo_blk = jnp.clip(c - (window_blocks - 1) // 2, 0,
-                          max(npb - window_blocks, 0))
-
-        pre, suf = _window_bounds(ps, block)
-        val_s, ex_s = _window_sweep(qs, ps, vsp, lo_blk, pre, suf, block,
-                                    window_blocks)
-        vals, exact = val_s[:Q], ex_s[:Q]
-
-    if rescue:
-        vals, exact = _brute_rescue(vals, exact, qs0, pts, vs,
-                                    min(rescue, Q))
-
-    if values is None:
-        vals = vals + center[None, :]
-    return vals, exact
+def _brute_rescue(vals, exact, qs0, ps, vs, R: int):
+    """Exact brute-force tier: `_scatter_pass` around `_nn1_brute_subset`
+    (every rescued query is exact by construction)."""
+    return _scatter_pass(vals, exact, qs0, R,
+                         lambda fq: _nn1_brute_subset(fq, ps, vs))
 
 
-def _iwindow_sweep_pallas(qs0, pts, Q: int, P: int, W: int,
+def _window_pass_pallas(qs0, pts, Q: int, P: int, W: int,
                           tq: int = 2048, interpret: bool = False):
     """Window starts + order-free bounds at 128-element granularity, then
-    the Pallas resident-point sweep (ops/corr_pallas.py). Same contract as
-    the `_window_sweep` branch with values=None: (vals (Q,3) CENTERED
-    coords, exact (Q,))."""
+    the Pallas resident-point sweep (ops/corr_pallas.py) over the (sorted)
+    BIG-masked centered points. Same contract as the `_window_sweep`
+    branch with values=None: (vals (Q,3) CENTERED coords, exact (Q,))."""
     from dynfu_tpu.ops import corr_pallas
 
     BIG = jnp.float32(3e38)

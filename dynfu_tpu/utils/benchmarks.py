@@ -351,8 +351,9 @@ def run_stage_benchmark(
     live_m = jnp.arange(verts.shape[0]) < n_verts
     wv, wn = clock("warp_canonical", lambda: wfield.warp_points_normals(
         wf, c.vertices, c.normals))
-    corr, exact = clock("correspondence_1nn", lambda: knn.nn1_gather_iwindow(
-        verts, wv, None, c.mask, live_m, rescue=dp.corr_rescue))
+    corr, exact = clock("correspondence_1nn", lambda: knn.nn1_gather_xwindow(
+        verts, wv, None, c.mask, live_m, rescue=dp.corr_rescue,
+        escalate=dp.corr_escalate))
     corr_m = live_m & exact
     clock("gn_solve", lambda: gn.solve(
         wf, corr, verts, vert_mask=corr_m,

@@ -325,9 +325,11 @@ def test_nn1_gather_xwindow_rescue_respects_masks_and_values():
     np.testing.assert_allclose(got[100:], want[100:], rtol=1e-4, atol=1e-6)
 
 
-def test_nn1_gather_iwindow_matches_exact_nearly_sorted():
-    """Sort-free windowed 1-NN: nearly-sorted point cloud (locally shuffled
-    MC-like emission), exactness certified without any sort."""
+def test_nn1_gather_xwindow_escalate_moving_edge():
+    """Escalation tier: a displaced subpopulation (the engine's moving-edge
+    failure mode — warped vertices jump several window-widths in rank) makes
+    base windows fail; the 4x escalate window certifies them EXACTLY, with
+    no brute tier at all."""
     import jax.numpy as jnp
 
     from dynfu_tpu.ops import knn
@@ -337,26 +339,27 @@ def test_nn1_gather_iwindow_matches_exact_nearly_sorted():
     pts = np.stack(
         [base, np.cos(base * 7) * 0.4 + 1.0, np.sin(base * 7) * 0.4 + 1.0],
         -1).astype(np.float32)
-    perm = np.argsort(np.arange(4000) + rng.randint(-5, 6, 4000),
-                      kind="stable")
-    pts_n = pts[perm]  # nearly sorted
-    queries = pts + rng.randn(4000, 3).astype(np.float32) * 0.003
-    vals = np.concatenate([pts_n, pts_n * 2], 1).astype(np.float32)
+    # displace a contiguous surface region by ~25 block-widths of x
+    moved = pts.copy()
+    moved[1200:1900, 0] += 0.025
+    queries = moved + rng.randn(4000, 3).astype(np.float32) * 0.003
+    vals = np.concatenate([moved, moved * 2], 1).astype(np.float32)
 
-    got, exact = knn.nn1_gather_iwindow(
-        jnp.asarray(queries), jnp.asarray(pts_n), jnp.asarray(vals),
-        block=512, rescue=4096)
+    got, exact = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(moved), jnp.asarray(vals),
+        block=128, window_blocks=3, escalate=2048, escalate_factor=8,
+        rescue=0)
     got, exact = np.asarray(got), np.asarray(exact)
-    assert exact.all()  # rescue covers whatever the windows miss
+    assert exact.all()
     d = ((queries[:, None].astype(np.float64)
-          - pts_n[None].astype(np.float64)) ** 2).sum(-1)
+          - moved[None].astype(np.float64)) ** 2).sum(-1)
     dg = ((queries - got[:, :3]).astype(np.float64) ** 2).sum(1)
     assert (dg <= d.min(1) + 1e-7).all()
 
 
-def test_nn1_gather_iwindow_shuffled_points_rescued():
-    """FULLY shuffled points: windows mostly fail, the rescue tier still
-    delivers the exact NN for every query (up to capacity)."""
+def test_nn1_gather_xwindow_shuffled_points_rescued():
+    """FULLY shuffled points (the internal sort restores order) with masked
+    entries: escalate + rescue deliver the exact NN for every query."""
     import jax.numpy as jnp
 
     from dynfu_tpu.ops import knn
@@ -368,9 +371,9 @@ def test_nn1_gather_iwindow_shuffled_points_rescued():
     pmask = np.ones(2000, bool)
     pmask[::5] = False
 
-    got, exact = knn.nn1_gather_iwindow(
+    got, exact = knn.nn1_gather_xwindow(
         jnp.asarray(queries), jnp.asarray(pts), None, jnp.asarray(pmask),
-        block=256, rescue=1024)
+        block=256, escalate=1024, rescue=1024)
     got, exact = np.asarray(got), np.asarray(exact)
     assert exact.all()
     d = ((queries[:, None].astype(np.float64)
@@ -380,7 +383,7 @@ def test_nn1_gather_iwindow_shuffled_points_rescued():
     assert (dg <= d.min(1) + 1e-7).all()
 
 
-def test_nn1_gather_iwindow_query_mask_and_drop_count():
+def test_nn1_gather_xwindow_query_mask_and_drop_count():
     """Masked queries are never exact; rescue capacity bounds how many
     failures get repaired."""
     import jax.numpy as jnp
@@ -388,23 +391,23 @@ def test_nn1_gather_iwindow_query_mask_and_drop_count():
     from dynfu_tpu.ops import knn
 
     rng = np.random.RandomState(21)
-    pts = rng.rand(1024, 3).astype(np.float32)  # unsorted -> many failures
+    pts = rng.rand(1024, 3).astype(np.float32)
     queries = rng.rand(1024, 3).astype(np.float32)
     qmask = np.ones(1024, bool)
     qmask[:50] = False
-    got, exact = knn.nn1_gather_iwindow(
+    got, exact = knn.nn1_gather_xwindow(
         jnp.asarray(queries), jnp.asarray(pts), None, None,
         jnp.asarray(qmask), block=256, window_blocks=1, rescue=64)
     exact = np.asarray(exact)
     assert not exact[:50].any()
-    # rescue=64 can't fix everything on shuffled data: some drops remain,
-    # but at most (valid - window hits - 64) and never negative
+    # rescue=64 can't fix everything a 1-block window misses on a random
+    # 3D cloud: some drops may remain, but at least the rescued are exact
     assert exact.sum() >= 64
 
 
-def test_corr_pallas_sweep_matches_xla_iwindow():
+def test_corr_pallas_sweep_matches_xla_window_pass():
     """The Pallas resident-point window sweep (interpret mode) matches the
-    XLA iwindow path: same exactness decisions, identical fetched NNs
+    XLA window-pass path: same exactness decisions, identical fetched NNs
     wherever both certify."""
     import jax.numpy as jnp
 
@@ -422,7 +425,7 @@ def test_corr_pallas_sweep_matches_xla_iwindow():
     qj, pj = jnp.asarray(queries), jnp.asarray(pts)
     # centered inputs, as the caller prepares them
     cen = pts.mean(0)
-    got, exact = knn._iwindow_sweep_pallas(
+    got, exact = knn._window_pass_pallas(
         qj - cen, pj - cen, Q, P, W=2048, tq=512, interpret=True)
     got = np.asarray(got) + cen
     exact = np.asarray(exact)
