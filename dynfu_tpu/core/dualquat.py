@@ -188,6 +188,26 @@ def dq_normalize(dq):
     return dq_make(real / mag, dq_dual(dq))
 
 
+def dq_normalize_joint(dq):
+    """PROPER unit-dual-quaternion normalization: the WHOLE dq divided by
+    |real| (Kavan et al. DLB). The reference's dq_normalize divides the
+    real part only — harmless for its translation-only fields, wrong for
+    blended rotations; the SE(3) solver path uses this one."""
+    real = dq_real(dq)
+    mag = jnp.sqrt(jnp.maximum(jnp.sum(real * real, axis=-1, keepdims=True),
+                               1e-30))
+    return dq / mag
+
+
+def dq_rotate_vector(dq, v):
+    """Rotate v (..., 3) by the dq's REAL quaternion only (the proper
+    normal transform; the reference's dq_transform_normal applies the full
+    transform, translation included — a quirk the parity path keeps)."""
+    r = dq_real(dq)
+    vq = jnp.concatenate([jnp.zeros_like(v[..., :1]), v], axis=-1)
+    return quat_mul(quat_mul(r, vq), quat_conj(r))[..., 1:4]
+
+
 def dq_translation(dq):
     """Extract translation: vec(2 * dual * conj(real)). dual_quaternion.hpp:94-97."""
     q = quat_mul(2.0 * dq_dual(dq), quat_conj(dq_real(dq)))

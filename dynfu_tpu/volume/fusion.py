@@ -59,7 +59,7 @@ def band_budget(config: TsdfConfig, dilate: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "config", "max_active", "dilate", "knn_k",
+    static_argnames=("intr", "config", "max_active", "dilate", "knn_k", "blend",
                      "min_cos", "col_budget"),
 )
 def integrate_warped(
@@ -76,6 +76,7 @@ def integrate_warped(
     dilate: int = 2,
     knn_k: int = 4,
     col_budget: int = 0,
+    blend: str = "dqb",
 ) -> Tuple[TsdfVolume, FusionStats]:
     """Fuse one live depth frame into the canonical volume through the warp.
 
@@ -132,13 +133,17 @@ def integrate_warped(
                        vy.astype(jnp.float32) * vsy,
                        vz.astype(jnp.float32) * vsz], axis=-1)
 
-    # --- warp through the field (engine DQB semantics) --------------------
+    # --- warp through the field ("dqb" = the engine's reference-quirk
+    # sequential-product blend; "dlb" = the proper Kavan blend the SE(3)
+    # solver path pairs with) ----------------------------------------------
     _, sqd, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
         wf, p_vol, knn_k)
-    blend = wfield._dqb_from_features(p_vol, n_pos, n_dq, n_w, n_valid)
+    blend_fn = {"dqb": wfield._dqb_from_features,
+                "dlb": wfield._dlb_from_features}[blend]
+    blend_dq = blend_fn(p_vol, n_pos, n_dq, n_w, n_valid)
     from dynfu_tpu.core import dualquat as dq
 
-    p_warp = dq.dq_transform_point(blend, p_vol)
+    p_warp = dq.dq_transform_point(blend_dq, p_vol)
     # support gate: voxels outside every node's influence radius keep their
     # canonical value (warp extrapolation there is meaningless)
     ratio2 = jnp.where(n_valid, sqd / jnp.maximum(n_w * n_w, 1e-30), jnp.inf)

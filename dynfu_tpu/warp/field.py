@@ -134,6 +134,42 @@ def _dqb_from_features(points, n_pos, n_dq, n_w, n_valid) -> jnp.ndarray:
     return dq.dq_normalize(acc)
 
 
+def _dlb_from_features(points, n_pos, n_dq, n_w, n_valid) -> jnp.ndarray:
+    """PROPER dual-quaternion linear blending (Kavan et al.) given
+    prefetched neighbor state: normalized weights, sign-aligned linear
+    combination of the full dual quaternions, joint normalization.
+
+    The reference's sequential-product DQB (calc_dqb below) cannot blend
+    rotations at all — its dq_scale scales only the DUAL part, so node
+    rotations would enter the product unweighted. The reference never hit
+    this (its solver is translations-only); the SE(3) solver path
+    (solver/se3.py) warps through THIS blend instead."""
+    w = transformation_weights(n_pos, n_w, points[..., None, :])
+    w = jnp.where(n_valid, w, 0.0)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    wn = w / jnp.maximum(wsum, 1e-12)
+    # antipodal alignment to the nearest (first) neighbor's real part
+    ref = n_dq[..., 0:1, :4]
+    dots = jnp.sum(n_dq[..., :4] * ref, axis=-1, keepdims=True)
+    sign = jnp.where(dots < 0.0, -1.0, 1.0)
+    acc = jnp.sum(wn[..., None] * n_dq * sign, axis=-2)
+    ident = jnp.broadcast_to(dq.dq_identity(), acc.shape)
+    acc = jnp.where(wsum > 1e-12, acc, ident)
+    return dq.dq_normalize_joint(acc)
+
+
+@jax.jit
+def warp_points_normals_dlb(wf: WarpField, points, normals):
+    """warpToLive through the PROPER DLB blend: points get the full rigid
+    transform, normals get the blended ROTATION only (no reference
+    quirks). The warp path for SE(3) solver state."""
+    points = jnp.asarray(points, jnp.float32)
+    _, _, n_pos, n_dq, n_w, n_valid = neighbor_features(wf, points)
+    blend = _dlb_from_features(points, n_pos, n_dq, n_w, n_valid)
+    return (dq.dq_transform_point(blend, points),
+            dq.dq_rotate_vector(blend, normals))
+
+
 def calc_dqb(wf: WarpField, points, neighbor_idx=None) -> jnp.ndarray:
     """Blend node transforms at query points: (Q, 8) dual quaternions.
 
@@ -216,15 +252,22 @@ def insert_nodes(
     new_pos,
     new_mask,
     dg_w: float,
+    blend: str = "dqb",
 ) -> WarpField:
-    """Masked append of new nodes with dg_se3 = DQB(pos), dg_w given.
+    """Masked append of new nodes with dg_se3 = blend(pos), dg_w given.
 
     Mirrors Warpfield::update's insertion loop (warp_field.cpp:76-83); the
     KD-tree rebuild is unnecessary here (brute-force k-NN has no index).
+    blend="dlb" seeds new nodes through the proper Kavan blend (the SE(3)
+    solver path); "dqb" keeps the reference's sequential-product quirk.
     """
     new_pos = jnp.asarray(new_pos, jnp.float32)
     n_new = new_pos.shape[0]
-    new_dq = calc_dqb(wf, new_pos)
+    if blend == "dlb":
+        _, _, n_pos, n_dq, n_w, n_valid = neighbor_features(wf, new_pos)
+        new_dq = _dlb_from_features(new_pos, n_pos, n_dq, n_w, n_valid)
+    else:
+        new_dq = calc_dqb(wf, new_pos)
 
     # target slots: count, count+1, ... for each masked-in new node
     offsets = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
@@ -247,9 +290,10 @@ def insert_nodes(
     return WarpField(pos, dqs, w, mask, count)
 
 
-@functools.partial(jax.jit, static_argnames=("epsilon", "leaf", "max_new"))
+@functools.partial(jax.jit,
+                   static_argnames=("epsilon", "leaf", "max_new", "blend"))
 def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: float = 0.05,
-                     max_new: int = 1024) -> WarpField:
+                     max_new: int = 1024, blend: str = "dqb") -> WarpField:
     """Warpfield::update (warp_field.cpp:63-95): find unsupported vertices,
     voxel-grid downsample them, insert as new nodes with dg_w = 2*epsilon."""
     unsup = unsupported_mask(wf, verts, vert_mask)
@@ -264,7 +308,7 @@ def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: floa
     ok = idx < n
     cand_pts = jnp.where(ok[:, None], verts[jnp.minimum(idx, n - 1)], 0.0)
     cand, cand_mask = voxel_downsample(cand_pts, ok, leaf, max_new)
-    return insert_nodes(wf, cand, cand_mask, 2.0 * epsilon)
+    return insert_nodes(wf, cand, cand_mask, 2.0 * epsilon, blend=blend)
 
 
 @jax.jit

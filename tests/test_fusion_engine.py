@@ -3,11 +3,9 @@ with warped-back integration — the DynamicFusion fusion model the
 reference's clear+reintegrate loop stands in for (dyn_fusion.cpp:107-116).
 """
 
-import dataclasses
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from dynfu_tpu.engine.dynfusion import DynFusion
 
@@ -89,3 +87,35 @@ def test_fusion_mode_flag_validation():
         DynFusion(small_dynfu_params(), mode="bogus")
     assert DynFusion(small_dynfu_params()).mode == "parity"
     assert DynFusion(small_dynfu_params(), strict_parity=False).mode == "fixed"
+
+
+def test_fusion_with_se3_rotations():
+    """mode="fusion" with solver_rotations=True: the per-node SE(3) solve
+    (solver/se3.py) + proper DLB warp replace the translations-only solve.
+    Same tracking contract as the translation path on a translating sphere
+    (whose motion needs no rotation — the rotation unknowns must stay
+    quiet, not inject noise)."""
+    import dataclasses
+
+    params = dataclasses.replace(small_dynfu_params(),
+                                 solver_rotations=True, se3_relinearize=2)
+    seq = [sphere_depth((CENTER[0] + 0.004 * i, CENTER[1], CENTER[2]), RADIUS)
+           for i in range(5)]
+    df = DynFusion(params, mode="fusion")
+    for f in seq:
+        df(f)
+
+    wv, wm = df.warped_cloud()
+    cen_live = np.asarray((CENTER[0] + 0.016, CENTER[1], CENTER[2])) - VOL_T
+    werr = surface_error(wv, np.asarray(wm), cen_live, RADIUS)
+    assert np.median(werr) < 0.008, f"median warped err {np.median(werr)}"
+
+    cv, cm = df.canonical.vertices, np.asarray(df.canonical.mask)
+    cerr = surface_error(cv, cm, np.asarray(CENTER) - VOL_T, RADIUS)
+    assert np.median(cerr) < 0.008, f"median canonical err {np.median(cerr)}"
+
+    fs = df.last_frame_stats
+    assert int(fs.mc_dropped) == 0
+    # the solve must report a finite, small mean rotation (translating
+    # sphere: rotations unobservable -> regularized to near zero)
+    assert float(fs.solve.mean_rot_deg) < 5.0

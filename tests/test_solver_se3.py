@@ -1,0 +1,112 @@
+"""SE(3) per-node solver (solver/se3.py): the rotations the reference
+declared but never wired (energy.t:30,78). No reference fixtures exist for
+rotations — correctness is established against synthetic ground-truth warps
+that a translations-only solver cannot represent."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dynfu_tpu.core import dualquat as dq
+from dynfu_tpu.solver import gn, se3
+from dynfu_tpu.warp import field as wfield
+
+
+def _patch_scene(rng, n_nodes=12, n_verts=400, extent=0.5):
+    """A plane-ish patch with nodes sprinkled over it (dg_w wide enough
+    that every vertex is supported)."""
+    nodes = (rng.rand(n_nodes, 3).astype(np.float32) - 0.5) * extent
+    wf = wfield.init_warpfield(nodes, weights=np.full(n_nodes, 0.35,
+                                                      np.float32),
+                               capacity=16)
+    verts = (rng.rand(n_verts, 3).astype(np.float32) - 0.5) * extent
+    return wf, jnp.asarray(verts)
+
+
+def test_se3_recovers_pure_translation():
+    rng = np.random.RandomState(5)
+    wf, verts = _patch_scene(rng)
+    t_true = np.asarray([0.012, -0.007, 0.004], np.float32)
+    live = verts + t_true
+
+    wf2, stats = se3.solve(wf, verts, live, relinearize=2,
+                           lambda_reg=200.0)
+    warped, _ = wfield.warp_points_normals_dlb(wf2, verts, verts)
+    err = np.linalg.norm(np.asarray(warped - live), axis=-1)
+    assert np.median(err) < 2e-4
+    assert float(stats.final_cost) < 1e-2 * float(stats.initial_cost)
+    # a pure translation needs no rotation
+    assert float(stats.mean_rot_deg) < 1.0
+
+
+def test_se3_recovers_rotation_where_translations_cannot():
+    """A rigid rotation: its DISPLACEMENT field is linear in x, so even a
+    translation-only RBF field can fit the positions — but it cannot
+    ROTATE anything. The SE(3) solve must (a) fit the positions, (b)
+    recover the true per-node rotation angle, and (c) rotate normals
+    correctly through the DLB warp — none of which exists in the
+    translations-only solver (gn.solve leaves every node rotation at
+    identity)."""
+    rng = np.random.RandomState(7)
+    wf, verts = _patch_scene(rng, n_nodes=10, n_verts=500)
+    ang = 0.12  # radians, ~6.9 deg
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    live = jnp.asarray(np.asarray(verts) @ R.T)
+
+    wf_r, stats = se3.solve(wf, verts, live, relinearize=3,
+                            lambda_reg=20.0)
+    normals = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (500, 1))
+    # rotate a tangent-ish normal set instead so the rotation is visible
+    normals = rng.randn(500, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    warped_r, warped_n = wfield.warp_points_normals_dlb(
+        wf_r, verts, jnp.asarray(normals))
+    err_r = np.median(np.linalg.norm(np.asarray(warped_r - live), -1))
+    assert err_r < 1e-4
+    # recovered node rotations match the true angle
+    assert abs(float(stats.mean_rot_deg) - np.degrees(ang)) < 0.5
+    # normals rotate by ~R (the translation solver cannot do this at all)
+    n_err = np.linalg.norm(np.asarray(warped_n) - normals @ R.T, axis=-1)
+    assert np.median(n_err) < 5e-3
+
+    # the translation solver leaves every rotation at identity
+    wf_t, _ = gn.solve(wf, verts, live, linear_iter=256)
+    real_t = np.asarray(wf_t.dqs)[np.asarray(wf.mask)][:, :4]
+    ang_t = 2 * np.degrees(np.arccos(np.clip(
+        np.abs(real_t[:, 0]) / np.linalg.norm(real_t, axis=-1), 0, 1)))
+    assert (ang_t < 1e-3).all()
+
+
+def test_se3_inactive_nodes_and_unsupported_verts_untouched():
+    rng = np.random.RandomState(11)
+    wf, verts = _patch_scene(rng, n_nodes=9)
+    far = jnp.asarray(np.full((40, 3), 50.0, np.float32))  # unsupported
+    allv = jnp.concatenate([verts, far])
+    live = jnp.concatenate([verts + jnp.asarray([0.01, 0, 0]), far])
+
+    wf2, _ = se3.solve(wf, allv, live, relinearize=2)
+    # inactive slots keep their identity transform
+    inactive = ~np.asarray(wf.mask)
+    np.testing.assert_allclose(np.asarray(wf2.dqs)[inactive],
+                               np.asarray(wf.dqs)[inactive])
+    # the update itself is finite and small
+    t = np.asarray(dq.dq_translation(wf2.dqs))[np.asarray(wf.mask)]
+    assert np.isfinite(t).all()
+    assert (np.linalg.norm(t, axis=-1) < 0.05).all()
+
+
+def test_se3_vert_mask_excludes_outliers():
+    rng = np.random.RandomState(13)
+    wf, verts = _patch_scene(rng)
+    live = verts + jnp.asarray([0.008, 0.0, 0.0])
+    # corrupt half the lives, but mask them out
+    bad = np.asarray(live).copy()
+    bad[::2] += 5.0
+    mask = np.ones(bad.shape[0], bool)
+    mask[::2] = False
+
+    wf2, _ = se3.solve(wf, verts, jnp.asarray(bad), jnp.asarray(mask),
+                       relinearize=2)
+    warped, _ = wfield.warp_points_normals_dlb(wf2, verts, verts)
+    err = np.linalg.norm(np.asarray(warped - live), axis=-1)[mask]
+    assert np.median(err) < 5e-4
