@@ -155,10 +155,17 @@ class KinFu:
             self.frame_counter += 1
             return False
 
-        (R, t), ok = icp.estimate_transform(
-            curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
-            dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
-        )
+        if p.icp_assoc == "stencil":
+            (R, t), ok = icp.estimate_transform_stencil(
+                curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
+                dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
+                radii=p.icp_stencil_radii,
+            )
+        else:
+            (R, t), ok = icp.estimate_transform(
+                curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
+                dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
+            )
         if not bool(ok):
             self.reset()
             return False

@@ -105,6 +105,136 @@ def _solve_svd(A, b):
     return jnp.linalg.pinv(A, rcond=1e-10) @ b
 
 
+def _fetch_stencil(img, vi, ui, radius: int):
+    """img[vi, ui] computed as a bounded-window STENCIL SELECT instead of
+    an element gather: for every offset in [-radius, radius]^2 the shifted
+    image is a cheap vectorized roll, and each pixel selects the shift that
+    matches its (vi - y, ui - x) flow. Pixels whose flow exceeds the window
+    return NaN (treated like an out-of-image projection).
+
+    Rationale: the projective association's flow is small once the coarse
+    pyramid levels have converged the pose, and this chip runs element
+    gathers ~1000x slower than elementwise work — the (2R+1)^2 shifted
+    selects are pure VPU traffic. Replaces the texture fetch of
+    find_coresp (proj_icp.cu:70-99) for the fast (non-parity) ICP mode."""
+    H, W = vi.shape
+    ys = jnp.arange(H, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    dy = vi - ys
+    dx = ui - xs
+    out = jnp.full(img.shape, jnp.nan, img.dtype)
+    for oy in range(-radius, radius + 1):
+        rolled_y = jnp.roll(img, -oy, axis=0)
+        for ox in range(-radius, radius + 1):
+            sh = jnp.roll(rolled_y, -ox, axis=1)
+            sel = (dy == oy) & (dx == ox)
+            out = jnp.where(sel[..., None], sh, out)
+    return out
+
+
+def _icp_normal_equations_stencil(
+    aff_R, aff_t, vcurr, ncurr, vprev, nprev, intr: Intr,
+    dist2_thres: float, min_cosine: float, radius: int,
+):
+    """`_icp_normal_equations` with the previous-frame fetch as a stencil
+    select (see `_fetch_stencil`). Identical math for every correspondence
+    whose flow fits the window; larger flows drop out of the system the
+    same way out-of-image projections do."""
+    H, W = vcurr.shape[:2]
+    s = _mm(vcurr.reshape(-1, 3), aff_R.T).reshape(H, W, 3) + aff_t
+
+    u = intr.fx * s[..., 0] / s[..., 2] + intr.cx
+    v = intr.fy * s[..., 1] / s[..., 2] + intr.cy
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+    in_img = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (s[..., 2] > 0)
+    ui = jnp.clip(ui, 0, W - 1)
+    vi = jnp.clip(vi, 0, H - 1)
+
+    both = _fetch_stencil(jnp.concatenate([vprev, nprev], -1), vi, ui,
+                          radius)
+    d, nd = both[..., :3], both[..., 3:]
+
+    ns = _mm(ncurr.reshape(-1, 3), aff_R.T).reshape(H, W, 3)
+    diff = s - d
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    cosine = jnp.abs(jnp.sum(ns * nd, axis=-1))
+
+    valid = (
+        ~jnp.isnan(vcurr[..., 0])
+        & in_img
+        & ~jnp.isnan(d[..., 0])
+        & (dist2 <= dist2_thres)
+        & (cosine >= min_cosine)
+    )
+
+    c = jnp.cross(s, nd)
+    J = jnp.concatenate([c, nd], axis=-1)
+    r = jnp.sum(nd * (d - s), axis=-1)
+    J = jnp.where(valid[..., None], J, 0.0)
+    r = jnp.where(valid, r, 0.0)
+    J = jnp.nan_to_num(J)
+    r = jnp.nan_to_num(r)
+
+    Jf = J.reshape(-1, 6)
+    A = _mm(Jf.T, Jf)
+    b = Jf.T @ r.reshape(-1)
+    return A, b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("intr", "iters", "dist_thres", "angle_thres",
+                              "radii"))
+def estimate_transform_stencil(
+    curr_pyr: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    prev_pyr: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    intr: Intr,
+    iters: Tuple[int, ...] = (10, 5, 4, 0),
+    dist_thres: float = 0.1,
+    angle_thres: float = 0.5235988,
+    radii: Tuple[int, ...] = (2, 3, 4, 6),
+):
+    """`estimate_transform` with stencil-select association (per-level
+    window radii, coarse levels wider — they absorb the raw inter-frame
+    motion, the fine levels only the residual). The TPU fast path for the
+    rigid pipeline; the gather variant remains the exact reference
+    semantics."""
+    dist2 = dist_thres * dist_thres
+    min_cos = jnp.cos(jnp.float32(angle_thres))
+
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.zeros((3,), jnp.float32)
+    ok = jnp.asarray(True)
+
+    levels = len(iters)
+    for level in range(levels - 1, -1, -1):
+        n_iter = iters[level]
+        if n_iter == 0:
+            continue
+        vcurr, ncurr = curr_pyr[level]
+        vprev, nprev = prev_pyr[level]
+        lintr = intr.level(level)
+        radius = radii[level] if level < len(radii) else radii[-1]
+
+        def body(_, carry, vcurr=vcurr, ncurr=ncurr, vprev=vprev,
+                 nprev=nprev, lintr=lintr, radius=radius):
+            R, t, ok = carry
+            A, b = _icp_normal_equations_stencil(
+                R, t, vcurr, ncurr, vprev, nprev, lintr, dist2, min_cos,
+                radius
+            )
+            det = jnp.linalg.det(A)
+            good = ok & (jnp.abs(det) >= 1e-15) & ~jnp.isnan(det)
+            x = _solve_svd(A, b)
+            Rinc, tinc = se3.from_rodrigues(x[:3], x[3:])
+            Rn, tn = se3.compose((Rinc, tinc), (R, t))
+            return (jnp.where(good, Rn, R), jnp.where(good, tn, t), good)
+
+        R, t, ok = jax.lax.fori_loop(0, n_iter, body, (R, t, ok))
+
+    return (R, t), ok
+
+
 def _icp_normal_equations_depth(
     aff_R, aff_t, dcurr, ncurr, dprev, nprev, intr: Intr,
     dist2_thres: float, min_cosine: float,

@@ -95,3 +95,46 @@ def test_degenerate_plane_raises_flag():
         # if the system stayed numerically non-singular, z must be recovered
         assert abs(float(t[2]) - 0.01) < 2e-3
     assert np.isfinite(np.asarray(t)).all()
+
+
+def test_stencil_association_matches_gather():
+    """The stencil-select fast path (TPU: element gathers ~1000x slower
+    than shifted selects) recovers the same pose as the exact gather
+    variant whenever the flow fits the window — the converged regime every
+    real frame ends in."""
+    rvec = np.array([0.008, -0.012, 0.015], np.float32)
+    R_true, _ = se3.from_rodrigues(jnp.asarray(rvec), jnp.zeros(3))
+    R_true = np.asarray(R_true)
+    t_true = np.array([0.008, -0.006, 0.01], np.float32)
+
+    prev_p, prev_n = make_frame(heightfield_depth())
+    curr_p, curr_n = apply_inv_transform(prev_p, prev_n, R_true, t_true)
+    iters = (10, 5, 4, 0)
+    prev_pyr = icp.build_pyramids(prev_p, prev_n, len(iters))
+    curr_pyr = icp.build_pyramids(curr_p, curr_n, len(iters))
+
+    (Rg, tg), okg = icp.estimate_transform(curr_pyr, prev_pyr, INTR,
+                                           iters=iters)
+    (Rs, ts), oks = icp.estimate_transform_stencil(curr_pyr, prev_pyr, INTR,
+                                                   iters=iters)
+    assert okg and oks
+    np.testing.assert_allclose(np.asarray(Rs), R_true, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ts), t_true, atol=3e-3)
+    # and close to the gather solution itself
+    np.testing.assert_allclose(np.asarray(Rs), np.asarray(Rg), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(tg), atol=1.5e-3)
+
+
+def test_stencil_fetch_matches_indexing():
+    """_fetch_stencil == img[vi, ui] wherever the flow fits the radius,
+    NaN outside."""
+    rng = np.random.RandomState(4)
+    img = rng.randn(24, 32, 3).astype(np.float32)
+    ys, xs = np.mgrid[0:24, 0:32]
+    vi = np.clip(ys + rng.randint(-4, 5, ys.shape), 0, 23).astype(np.int32)
+    ui = np.clip(xs + rng.randint(-4, 5, xs.shape), 0, 31).astype(np.int32)
+    out = np.asarray(icp._fetch_stencil(
+        jnp.asarray(img), jnp.asarray(vi), jnp.asarray(ui), 3))
+    inside = (np.abs(vi - ys) <= 3) & (np.abs(ui - xs) <= 3)
+    np.testing.assert_array_equal(out[inside], img[vi, ui][inside])
+    assert np.isnan(out[~inside]).all()
