@@ -37,3 +37,75 @@ def test_golden_three_frame_sequence():
     np.testing.assert_allclose(
         trans.mean(0) * 2, [1.554e-4, -1.537e-5, 3.466e-5], atol=5e-4
     )
+
+
+def test_golden_fixed_mode_sequence():
+    """Same 3-frame sequence through mode="fixed" (real MC normals + rigid
+    ICP pose — the reference's scaffolded-but-unwired behaviors)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import CENTER, RADIUS, small_dynfu_params, sphere_depth
+
+    df = DynFusion(small_dynfu_params(), mode="fixed")
+    for i in range(3):
+        df(sphere_depth((CENTER[0] + 0.004 * i, CENTER[1], CENTER[2]), RADIUS))
+
+    wv, wm = df.warped_cloud()
+    v = np.asarray(wv)[np.asarray(wm)]
+    # recorded 2026-08-17 (round 2; static camera -> matches the parity
+    # golden's geometry, pinned independently against fixed-path drift)
+    assert abs(len(v) - 3654) <= 80
+    np.testing.assert_allclose(v.mean(0), [0.50952, 0.50885, 0.32657],
+                               atol=2e-3)
+    np.testing.assert_allclose(v.std(0), [0.08723, 0.08730, 0.02345],
+                               atol=2e-3)
+    assert abs(int(df.warpfield.count) - 115) <= 6
+
+
+def test_golden_fusion_mode_sequence():
+    """Same sequence through mode="fusion" (persistent canonical volume,
+    warped-back integration)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import CENTER, RADIUS, small_dynfu_params, sphere_depth
+
+    df = DynFusion(small_dynfu_params(), mode="fusion")
+    for i in range(3):
+        df(sphere_depth((CENTER[0] + 0.004 * i, CENTER[1], CENTER[2]), RADIUS))
+
+    wv, wm = df.warped_cloud()
+    v = np.asarray(wv)[np.asarray(wm)]
+    # recorded 2026-08-17 (round 2)
+    assert abs(len(v) - 3909) <= 80
+    np.testing.assert_allclose(v.mean(0), [0.49849, 0.50040, 0.32068],
+                               atol=2e-3)
+    np.testing.assert_allclose(v.std(0), [0.09137, 0.08648, 0.02423],
+                               atol=2e-3)
+    assert abs(int(df.warpfield.count) - 115) <= 6
+    assert float(np.asarray(df.vol.weight).max()) >= 3.0  # never cleared
+
+
+def test_golden_rigid_trajectory():
+    """KinFu (stencil ICP association) over a 4-frame translating-camera
+    trajectory on the 3-sphere scene: recorded pose, bounded by the
+    64-cube voxel quantization of the raycast model."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import small_kinfu_params, scene_depth
+    from dynfu_tpu.engine.kinfu import KinFu
+
+    kf = KinFu(small_kinfu_params())
+    for i in range(4):
+        t = np.asarray([0.004 * i, -0.002 * i, 0.003 * i], np.float32)
+        kf(scene_depth(cam_t=t))
+    R, t = kf.get_camera_pose()
+    # recorded 2026-08-17 (round 2); truth (0.012, -0.006, 0.009) — the
+    # residual is the documented voxel-quantization bound, pinned so it
+    # can only improve deliberately
+    np.testing.assert_allclose(np.diag(np.asarray(R)),
+                               [0.99978, 0.99999, 0.99979], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(t),
+                               [0.00589, -0.00082, 0.00871], atol=2e-3)
