@@ -32,7 +32,6 @@ TPU build adds on top.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

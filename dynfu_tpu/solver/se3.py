@@ -410,16 +410,16 @@ def solve(
         gn_step, (upd0, y0), None, length=max(relinearize, 1))
 
     if min_update > 0.0:
-        # block soft-threshold on the applied update's translation (same
-        # role as gn.solve's: keep static scenes static in fusion mode)
+        # gate on the applied update's translation (same role as
+        # gn.solve's soft-threshold: keep static scenes static in fusion
+        # mode). Sub-threshold updates zero out ENTIRELY — rescaling a
+        # rigid transform's log jointly would be the soft version, but the
+        # gate's purpose is exactly-zero updates under noise, which the
+        # hard form gives directly.
         t_upd = dq.dq_translation(upd)
         norm = jnp.linalg.norm(t_upd, axis=-1, keepdims=True)
-        scale = jnp.maximum(0.0, 1.0 - min_update / jnp.maximum(norm, 1e-12))
-        # shrink by re-scaling the full twist log is overkill: scale the
-        # translation and the rotation angle jointly via slerp-free blend
         upd = jnp.where(norm > min_update, upd,
                         jnp.broadcast_to(dq.dq_identity(), upd.shape))
-        del scale
 
     final_cost = jnp.sum(s2 * jnp.sum((live_v - y_fin) ** 2, -1))
     real = upd[:, :4]

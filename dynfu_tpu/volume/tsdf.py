@@ -315,29 +315,34 @@ def integrate_separable(
 # ---------------------------------------------------------------------------
 
 
-def _rotation_homography(R_rel: jnp.ndarray, intr: Intr):
-    """Map VIRTUAL pixel (axis-aligned camera) -> REAL pixel: u = K R K^-1 u'."""
-    K = jnp.asarray(
+def _kmat(intr: Intr):
+    return jnp.asarray(
         [[intr.fx, 0.0, intr.cx], [0.0, intr.fy, intr.cy], [0.0, 0.0, 1.0]],
         jnp.float32,
     )
-    Kinv = jnp.asarray(
+
+
+def _kmat_inv(intr: Intr):
+    return jnp.asarray(
         [[1.0 / intr.fx, 0.0, -intr.cx / intr.fx],
          [0.0, 1.0 / intr.fy, -intr.cy / intr.fy],
          [0.0, 0.0, 1.0]],
         jnp.float32,
     )
-    return _mm(K, _mm(R_rel, Kinv))
 
 
-def _warp_image_nearest(img: jnp.ndarray, Hmat: jnp.ndarray, out_shape):
-    """out[v', u'] = img[H(u', v')] with nearest (floor) sampling; 0 outside.
+def _rotation_homography(R_rel: jnp.ndarray, intr_dst: Intr,
+                         intr_src: Intr | None = None):
+    """Pixel map u_dst = K_dst R K_src^-1 u_src (same-K rotation warp when
+    intr_src is omitted)."""
+    return _mm(_kmat(intr_dst), _mm(R_rel, _kmat_inv(intr_src or intr_dst)))
 
-    One small-image gather (~3e5 elements) — cheap even at the measured slow
-    TPU gather rate, and exactly mirrors the reference's point-mode fetches.
-    """
+
+def _homography_pixels(Hmat: jnp.ndarray, out_shape, in_extent):
+    """Apply the pixel homography over an (Ho, Wo) grid: (px, py, ok) with
+    ok false behind the plane-at-infinity or outside [0, Wi) x [0, Hi)."""
     Ho, Wo = out_shape
-    Hi, Wi = img.shape
+    Hi_ext, Wi_ext = in_extent  # EXCLUSIVE upper bounds (float)
     u = jnp.arange(Wo, dtype=jnp.float32)[None, :]
     v = jnp.arange(Ho, dtype=jnp.float32)[:, None]
     x = Hmat[0, 0] * u + Hmat[0, 1] * v + Hmat[0, 2]
@@ -346,7 +351,18 @@ def _warp_image_nearest(img: jnp.ndarray, Hmat: jnp.ndarray, out_shape):
     safe_w = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
     px = x / safe_w
     py = y / safe_w
-    ok = (w > 1e-12) & (px >= 0) & (py >= 0) & (px < Wi) & (py < Hi)
+    ok = (w > 1e-12) & (px >= 0) & (py >= 0) & (px < Wi_ext) & (py < Hi_ext)
+    return px, py, ok
+
+
+def _warp_image_nearest(img: jnp.ndarray, Hmat: jnp.ndarray, out_shape):
+    """out[v', u'] = img[H(u', v')] with nearest (floor) sampling; 0 outside.
+
+    One small-image gather (~3e5 elements) — cheap even at the measured slow
+    TPU gather rate, and exactly mirrors the reference's point-mode fetches.
+    """
+    Hi, Wi = img.shape
+    px, py, ok = _homography_pixels(Hmat, out_shape, (float(Hi), float(Wi)))
     xi = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, Wi - 1)
     yi = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Hi - 1)
     out = img[yi, xi]
@@ -411,37 +427,18 @@ def raycast_rotated(
     pts_v, nrm_v = raycast_separable(vol, virt_pose, vintr, (Hv, Wv), config)
 
     # real pixel -> virtual pixel: u' = Kv R_rel^T K^-1 u
-    Kv = jnp.asarray(
-        [[vintr.fx, 0.0, vintr.cx], [0.0, vintr.fy, vintr.cy], [0.0, 0.0, 1.0]],
-        jnp.float32,
-    )
-    Kinv = jnp.asarray(
-        [[1.0 / intr.fx, 0.0, -intr.cx / intr.fx],
-         [0.0, 1.0 / intr.fy, -intr.cy / intr.fy],
-         [0.0, 0.0, 1.0]],
-        jnp.float32,
-    )
-    M = _mm(Kv, _mm(R_rel.T, Kinv))
-
-    u = jnp.arange(W, dtype=jnp.float32)[None, :]
-    v = jnp.arange(H, dtype=jnp.float32)[:, None]
-    x = M[0, 0] * u + M[0, 1] * v + M[0, 2]
-    y = M[1, 0] * u + M[1, 1] * v + M[1, 2]
-    w = M[2, 0] * u + M[2, 1] * v + M[2, 2]
-    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
-    px = x / safe_w
-    py = y / safe_w
-    ok = (w > 1e-12) & (px >= 0) & (py >= 0) & (px <= Wv - 1) & (py <= Hv - 1)
+    M = _rotation_homography(R_rel.T, vintr, intr)
+    px, py, ok = _homography_pixels(
+        M, (H, W), (float(Hv - 1) + 1e-6, float(Wv - 1) + 1e-6))
     x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, Wv - 2)
     y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Hv - 2)
     a = jnp.clip(px - x0, 0.0, 1.0)[..., None]
     b = jnp.clip(py - y0, 0.0, 1.0)[..., None]
 
     # validity-weighted bilinear over the 4 neighbors (nearest re-mapping
-    # would quantize ray directions by half a pixel — millimeters at range)
-    def tap(img, dy, dx):
-        return img[y0 + dy, x0 + dx]
-
+    # would quantize ray directions by half a pixel — millimeters at range),
+    # with the max-weight valid tap tracked in the SAME pass (each tap is a
+    # (H, W) gather — fetching them once, not twice, matters here)
     wts = [(1 - a) * (1 - b), a * (1 - b), (1 - a) * b, a * b]
     taps = [(0, 0), (0, 1), (1, 0), (1, 1)]
     psum = jnp.zeros((H, W, 3), jnp.float32)
@@ -449,9 +446,12 @@ def raycast_rotated(
     wsum = jnp.zeros((H, W, 1), jnp.float32)
     zmin = jnp.full((H, W), jnp.inf)
     zmax = jnp.full((H, W), -jnp.inf)
+    best_p = jnp.full((H, W, 3), jnp.nan)
+    best_n = jnp.full((H, W, 3), jnp.nan)
+    best_w = jnp.full((H, W, 1), -1.0)
     for wt, (dy, dx) in zip(wts, taps):
-        pv = tap(pts_v, dy, dx)
-        nv = tap(nrm_v, dy, dx)
+        pv = pts_v[y0 + dy, x0 + dx]
+        nv = nrm_v[y0 + dy, x0 + dx]
         valid = ~jnp.isnan(pv[..., :1])
         wv = jnp.where(valid, wt, 0.0)
         psum = psum + jnp.nan_to_num(pv) * wv
@@ -460,6 +460,11 @@ def raycast_rotated(
         zv = jnp.where(valid[..., 0], pv[..., 2], jnp.nan)
         zmin = jnp.minimum(zmin, jnp.nan_to_num(zv, nan=jnp.inf))
         zmax = jnp.maximum(zmax, jnp.nan_to_num(zv, nan=-jnp.inf))
+        wb = jnp.where(valid, wt, -2.0)
+        takebest = wb > best_w
+        best_p = jnp.where(takebest, pv, best_p)
+        best_n = jnp.where(takebest, nv, best_n)
+        best_w = jnp.where(takebest, wb, best_w)
     good = ok & (wsum[..., 0] > 0.5)  # majority of bilinear mass valid
     p = psum / jnp.maximum(wsum, 1e-12)
     n = nsum / jnp.maximum(
@@ -468,18 +473,6 @@ def raycast_rotated(
     # silhouette guard: where the 4 taps straddle a depth discontinuity the
     # blend is a phantom mid-air point — use the max-weight valid tap instead
     edge = (zmax - zmin) > 4.0 * max(config.voxel_size)
-    best_p = jnp.full((H, W, 3), jnp.nan)
-    best_n = jnp.full((H, W, 3), jnp.nan)
-    best_w = jnp.full((H, W, 1), -1.0)
-    for wt, (dy, dx) in zip(wts, taps):
-        pv = tap(pts_v, dy, dx)
-        nv = tap(nrm_v, dy, dx)
-        valid = ~jnp.isnan(pv[..., :1])
-        wv = jnp.where(valid, wt, -2.0)
-        takebest = wv > best_w
-        best_p = jnp.where(takebest, pv, best_p)
-        best_n = jnp.where(takebest, nv, best_n)
-        best_w = jnp.where(takebest, wv, best_w)
     p = jnp.where(edge[..., None], best_p, p)
     n = jnp.where(edge[..., None], best_n, n)
     good = good & ~jnp.isnan(p[..., 0])
@@ -577,6 +570,72 @@ def _compute_normal(tsdf, vertex, voxel_size_inv, gradient_delta):
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 
+def _slab_sweep(slabs, n_chunks: int, chunk: int, sample_fn, H: int, W: int):
+    """The zero-crossing state machine shared by `raycast` and
+    `raycast_separable`: walk the sampled slabs in chunks, `sample_fn(g,
+    slab) -> (f, gx, gy, valid)` evaluates one slab for every ray, and the
+    carry records for each ray the FIRST +/- crossing (slab index, linear
+    fraction, the flanking samples and in-plane gradients) while a later
+    backface crossing only stops the ray."""
+    zero = jnp.zeros((H, W), jnp.float32)
+    carry0 = dict(
+        f_prev=jnp.full((H, W), 1.0, jnp.float32),
+        gx_prev=zero, gy_prev=zero,
+        valid_prev=jnp.zeros((H, W), bool),
+        found=jnp.zeros((H, W), bool),
+        hit=jnp.zeros((H, W), bool),
+        k_hit=jnp.zeros((H, W), jnp.int32),
+        frac=zero, f_a=zero, f_b=zero,
+        gx_a=zero, gy_a=zero, gx_b=zero, gy_b=zero,
+    )
+
+    def chunk_body(c, carry):
+        block = jax.lax.dynamic_slice_in_dim(slabs, c * chunk, chunk, 0)
+        for j in range(chunk):
+            g = c * chunk + j
+            f, gx, gy, valid = sample_fn(g, block[j])
+            both = carry["valid_prev"] & valid
+            crossing = both & (carry["f_prev"] > 0.0) & (f < 0.0)
+            backface = both & (carry["f_prev"] < 0.0) & (f > 0.0)
+            take = ~carry["found"] & crossing
+            stop = crossing | backface
+            fr = carry["f_prev"] / (carry["f_prev"] - f + 1e-30)
+            carry = dict(
+                f_prev=f, gx_prev=gx, gy_prev=gy, valid_prev=valid,
+                found=carry["found"] | stop,
+                hit=jnp.where(take, True, carry["hit"]),
+                k_hit=jnp.where(take, g - 1, carry["k_hit"]),
+                frac=jnp.where(take, fr, carry["frac"]),
+                f_a=jnp.where(take, carry["f_prev"], carry["f_a"]),
+                f_b=jnp.where(take, f, carry["f_b"]),
+                gx_a=jnp.where(take, carry["gx_prev"], carry["gx_a"]),
+                gy_a=jnp.where(take, carry["gy_prev"], carry["gy_a"]),
+                gx_b=jnp.where(take, gx, carry["gx_b"]),
+                gy_b=jnp.where(take, gy, carry["gy_b"]),
+            )
+        return carry
+
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+
+
+def _sweep_outputs(s, slab_dz: float):
+    """(hit, z_star, normal, ok) from a `_slab_sweep` carry: the crossing
+    depth by linear interpolation between the flanking slabs, and the TSDF
+    gradient (in-plane gradients lerped in z + inter-slab difference) as
+    the surface normal."""
+    hit = s["hit"]
+    z_star = (s["k_hit"].astype(jnp.float32) + s["frac"]) * slab_dz
+    fr = s["frac"]
+    gx = s["gx_a"] * (1 - fr) + s["gx_b"] * fr
+    gy = s["gy_a"] * (1 - fr) + s["gy_b"] * fr
+    gz = (s["f_b"] - s["f_a"]) / slab_dz
+    normal = jnp.stack([gx, gy, gz], axis=-1)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(nn > 0, nn, 1.0)
+    ok = hit & (nn[..., 0] > 0) & ~jnp.isnan(jnp.sum(normal, axis=-1))
+    return hit, z_star, normal, ok
+
+
 @functools.partial(jax.jit, static_argnames=("config", "intr", "shape"))
 def raycast(
     vol: TsdfVolume,
@@ -655,7 +714,7 @@ def raycast(
     fwd = dz > 1e-6
     safe_dz = jnp.where(fwd, dz, 1.0)
 
-    def slab_sample(slab, g):
+    def slab_sample(g, slab):
         """Bilinear sample of one (Y, X) slab for all rays at slab index g.
         Returns f (H, W), in-plane gradient (gx, gy), validity mask."""
         z = (g * m) * vsz
@@ -677,63 +736,13 @@ def raycast(
         gy = ((f10 - f00) * (1 - a) + (f11 - f01) * a) / vsy
         return jnp.where(valid, f, 1.0), gx, gy, valid
 
-    zero = jnp.zeros((H, W), jnp.float32)
-    carry0 = dict(
-        f_prev=jnp.full((H, W), 1.0, jnp.float32),
-        gx_prev=zero, gy_prev=zero,
-        valid_prev=jnp.zeros((H, W), bool),
-        found=jnp.zeros((H, W), bool),
-        hit=jnp.zeros((H, W), bool),
-        k_hit=jnp.zeros((H, W), jnp.int32),
-        frac=zero, f_a=zero, f_b=zero,
-        gx_a=zero, gy_a=zero, gx_b=zero, gy_b=zero,
-    )
-
-    def chunk_body(c, carry):
-        block = jax.lax.dynamic_slice_in_dim(slabs, c * CH, CH, 0)  # (CH, Y, X)
-        for j in range(CH):
-            g = c * CH + j
-            f, gx, gy, valid = slab_sample(block[j], g)
-            both = carry["valid_prev"] & valid
-            crossing = both & (carry["f_prev"] > 0.0) & (f < 0.0)
-            backface = both & (carry["f_prev"] < 0.0) & (f > 0.0)
-            take = ~carry["found"] & crossing
-            stop = crossing | backface
-            fr = carry["f_prev"] / (carry["f_prev"] - f + 1e-30)
-            carry = dict(
-                f_prev=f, gx_prev=gx, gy_prev=gy, valid_prev=valid,
-                found=carry["found"] | stop,
-                hit=jnp.where(take, True, carry["hit"]),
-                k_hit=jnp.where(take, g - 1, carry["k_hit"]),
-                frac=jnp.where(take, fr, carry["frac"]),
-                f_a=jnp.where(take, carry["f_prev"], carry["f_a"]),
-                f_b=jnp.where(take, f, carry["f_b"]),
-                gx_a=jnp.where(take, carry["gx_prev"], carry["gx_a"]),
-                gy_a=jnp.where(take, carry["gy_prev"], carry["gy_a"]),
-                gx_b=jnp.where(take, gx, carry["gx_b"]),
-                gy_b=jnp.where(take, gy, carry["gy_b"]),
-            )
-        return carry
-
-    s = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+    s = _slab_sweep(slabs, n_chunks, CH, slab_sample, H, W)
+    _, z_star, normal, ok = _sweep_outputs(s, m * vsz)
 
     # hit position: z* between slabs k and k+1 by linear interpolation
-    hit = s["hit"]
-    z_star = (s["k_hit"].astype(jnp.float32) + s["frac"]) * (m * vsz)
     s_star = (z_star - ray_org[2]) / safe_dz
     vertex = ray_org + ray_dir * s_star[..., None]
 
-    # normal = normalized TSDF gradient at the crossing: in-plane bilinear
-    # gradients lerped in z + inter-slab difference for d/dz
-    fr = s["frac"]
-    gx = s["gx_a"] * (1 - fr) + s["gx_b"] * fr
-    gy = s["gy_a"] * (1 - fr) + s["gy_b"] * fr
-    gz = (s["f_b"] - s["f_a"]) / (m * vsz)
-    normal = jnp.stack([gx, gy, gz], axis=-1)
-    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = normal / jnp.where(nn > 0, nn, 1.0)
-
-    ok = hit & (nn[..., 0] > 0) & ~jnp.isnan(jnp.sum(normal, axis=-1))
     # back to camera frame: v = Rinv (vertex - t), n = Rinv n
     v_cam = _mm(vertex - ray_org, Rinv.T)
     n_cam = _mm(normal, Rinv.T)
@@ -819,62 +828,14 @@ def raycast_separable(
         valid = valid_v[:, None] & valid_u[None, :]
         return jnp.where(valid, f, 1.0), gx, gy, valid
 
-    zero = jnp.zeros((H, W), jnp.float32)
-    carry0 = dict(
-        f_prev=jnp.full((H, W), 1.0, jnp.float32),
-        gx_prev=zero, gy_prev=zero,
-        valid_prev=jnp.zeros((H, W), bool),
-        found=jnp.zeros((H, W), bool),
-        hit=jnp.zeros((H, W), bool),
-        k_hit=jnp.zeros((H, W), jnp.int32),
-        frac=zero, f_a=zero, f_b=zero,
-        gx_a=zero, gy_a=zero, gx_b=zero, gy_b=zero,
-    )
+    s = _slab_sweep(slabs, n_chunks, CH, slab_sample, H, W)
+    _, z_star, normal, ok = _sweep_outputs(s, m * vsz)
 
-    def chunk_body(c, carry):
-        block = jax.lax.dynamic_slice_in_dim(slabs, c * CH, CH, 0)
-        for j in range(CH):
-            g = c * CH + j
-            f, gx, gy, valid = slab_sample(g, block[j])
-            both = carry["valid_prev"] & valid
-            crossing = both & (carry["f_prev"] > 0.0) & (f < 0.0)
-            backface = both & (carry["f_prev"] < 0.0) & (f > 0.0)
-            take = ~carry["found"] & crossing
-            stop = crossing | backface
-            fr = carry["f_prev"] / (carry["f_prev"] - f + 1e-30)
-            carry = dict(
-                f_prev=f, gx_prev=gx, gy_prev=gy, valid_prev=valid,
-                found=carry["found"] | stop,
-                hit=jnp.where(take, True, carry["hit"]),
-                k_hit=jnp.where(take, g - 1, carry["k_hit"]),
-                frac=jnp.where(take, fr, carry["frac"]),
-                f_a=jnp.where(take, carry["f_prev"], carry["f_a"]),
-                f_b=jnp.where(take, f, carry["f_b"]),
-                gx_a=jnp.where(take, carry["gx_prev"], carry["gx_a"]),
-                gy_a=jnp.where(take, carry["gy_prev"], carry["gy_a"]),
-                gx_b=jnp.where(take, gx, carry["gx_b"]),
-                gy_b=jnp.where(take, gy, carry["gy_b"]),
-            )
-        return carry
-
-    s = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
-
-    hit = s["hit"]
-    z_star = (s["k_hit"].astype(jnp.float32) + s["frac"]) * (m * vsz)
     dzo = z_star - t[2]
     vx = t[0] + qx[None, :] * dzo
     vy = t[1] + qy[:, None] * dzo
     vertex = jnp.stack([vx, vy, jnp.broadcast_to(z_star, (H, W))], axis=-1)
 
-    fr = s["frac"]
-    gx = s["gx_a"] * (1 - fr) + s["gx_b"] * fr
-    gy = s["gy_a"] * (1 - fr) + s["gy_b"] * fr
-    gz = (s["f_b"] - s["f_a"]) / (m * vsz)
-    normal = jnp.stack([gx, gy, gz], axis=-1)
-    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    normal = normal / jnp.where(nn > 0, nn, 1.0)
-
-    ok = hit & (nn[..., 0] > 0) & ~jnp.isnan(jnp.sum(normal, axis=-1))
     v_cam = vertex - t  # cam2vol = (I, t)
     points = jnp.where(ok[..., None], v_cam, _QNAN)
     normals = jnp.where(ok[..., None], normal, _QNAN)
