@@ -167,7 +167,10 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # NOTE: this pass (k-NN of canonical verts vs nodes) can NOT be shared
     # with the solver's graph pass — the solver queries the WARPED frame
     # against node positions (opt_solver.cpp:56-72), a different query set.
-    wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
+    if dp.solver_rotations and not strict_parity:
+        wv, wn = wfield.warp_points_normals_dlb(wf, canonical_v, canonical_n)
+    else:
+        wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
 
     corr_v, corr_n, corr_m = _correspondence(
         wv, wn, canonical_m, live_v, live_m, strict_parity,
@@ -175,19 +178,33 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     )
 
     # full reference schedule (dyn_fusion.cpp:183-189): numIter=24 outer /
-    # nonLinearIter=16 inner / linearIter=256, earlyOut
-    wf, solve_stats = gn.solve(
-        wf, corr_v, live_v, vert_mask=corr_m & live_m,
-        tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
-        lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
-        linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
-        nonlinear_iter=dp.solver.nonlinear_iter,
-        num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
-    )
+    # nonLinearIter=16 inner / linearIter=256, earlyOut. Non-parity modes
+    # can solve per-node SE(3) twists instead (the unknowns the reference
+    # declared but never wired); corr_v is ALREADY warped, so the SE(3)
+    # solve runs in its incremental convention.
+    if dp.solver_rotations and not strict_parity:
+        wf, solve_stats = se3_solver.solve(
+            wf, corr_v, live_v, vert_mask=corr_m & live_m,
+            tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+            lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
+            linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+            relinearize=dp.se3_relinearize, incremental=True,
+            rot_prior=dp.se3_rot_prior,
+        )
+    else:
+        wf, solve_stats = gn.solve(
+            wf, corr_v, live_v, vert_mask=corr_m & live_m,
+            tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
+            lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
+            linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
+            nonlinear_iter=dp.solver.nonlinear_iter,
+            num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
+        )
 
     # node insertion from the warped canonical frame (dyn_fusion.cpp:142)
     wf = wfield.update_warpfield(
-        wf, wv, canonical_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes
+        wf, wv, canonical_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes,
+        blend="dlb" if (dp.solver_rotations and not strict_parity) else "dqb",
     )
     corr_dropped = jnp.sum((live_m & ~corr_m).astype(jnp.int32))
     stats = FrameStats(solve_stats, mc_dropped, corr_dropped)
@@ -286,6 +303,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             lambda_reg=dp.lambda_reg,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
             relinearize=dp.se3_relinearize, incremental=True,
+            rot_prior=dp.se3_rot_prior,
             min_update=dp.fusion_min_update_vox * min(config.voxel_size),
         )
     else:

@@ -151,7 +151,13 @@ class DynFuParams:
     # proper DLB blend — the capability the reference declared but never
     # wired (energy.t:30,78). fusion/fixed modes only; parity keeps the
     # reference's translations-only solve.
-    se3_relinearize: int = 2  # Gauss-Newton relinearizations per frame
+    se3_relinearize: int = 3  # Gauss-Newton relinearizations per frame
+    se3_rot_prior: float = 0.03  # per-step rotation damping (se3.solve
+    # rot_prior): prices a step rotation theta like a translation
+    # theta * dg_w scaled by the node's own data strength. Pure step
+    # damping — true rotations converge through it across
+    # relinearizations, noise-spin (unobservable on smooth geometry)
+    # stays O(info/prior) small
     fusion_min_update_vox: float = 0.1  # per-node update soft-threshold in
     # voxel units (gn.solve min_update): static scenes stay EXACTLY static
     # instead of baking per-frame solve jitter into the canonical volume

@@ -40,6 +40,8 @@ def main(argv=None) -> int:
     bench.add_argument("--stages", action="store_true",
                        help="report per-stage ms (profiling breakdown) "
                             "instead of end-to-end fps")
+    bench.add_argument("--rotations", action="store_true",
+                       help="with --fusion: per-node SE(3) solve + DLB warp")
     bench.add_argument("--fusion", action="store_true",
                        help="benchmark the persistent-canonical fusion mode "
                             "(fps + canonical/warped error in mm)")
@@ -85,7 +87,8 @@ def main(argv=None) -> int:
             result = run_stage_benchmark(volume_dims=args.volume_dims)
         elif args.fusion:
             result = run_fusion_benchmark(volume_dims=args.volume_dims,
-                                          frames=args.frames)
+                                          frames=args.frames,
+                                          rotations=args.rotations)
         elif args.rigid:
             result = run_rigid_benchmark(volume_dims=args.volume_dims,
                                          frames=args.frames)

@@ -194,19 +194,30 @@ def _assemble_data(B, Bu, Bw, pos, D):
     return A, b
 
 
-def _assemble_reg(wf, reg_idx, edge_mask, reg_w2, D, chunk: int = 2048):
+def _assemble_reg(wf, reg_idx, edge_mask, reg_w2, D, chunk: int = 2048,
+                  psi_reg: float = 0.0):
     """Reg normal equations from the SE(3)-linearized DynamicFusion term
     r_kj = T_k(p_j) - T_j(p_j): (A_reg (D,6,D,6), b_reg (D,6), cost0).
 
     Edge rows J_e are 3 x 6D with two nonzero blocks ([I | -[t_k(p_j)-p_k]x]
     at k, -[I | -[t_j(p_j)-p_j]x] at j); D*KNN edges afford chunked dense
-    strips contracted on the MXU."""
+    strips contracted on the MXU.
+
+    psi_reg > 0 applies the DynamicFusion paper's Huber weight on each
+    edge's CURRENT disagreement (w_e = 1 below psi, psi/|r| above) — the
+    robust reg the reference computed every iteration but never fed to any
+    term (opt_solver.cpp:233-268 / energy.t:70,76)."""
     K = reg_idx.shape[1]
     pos = wf.pos
     # current transforms applied to the NEIGHBOR node position p_j
     n_pos = pos[reg_idx]  # (D, K, 3) tiny (D nodes), direct index fine
     yk = dq.dq_transform_point(wf.dqs[:, None, :], n_pos)  # T_k(p_j)
     yj = dq.dq_transform_point(wf.dqs[reg_idx], n_pos)  # T_j(p_j)
+    if psi_reg > 0.0:
+        e = jnp.linalg.norm(yk - yj, axis=-1)  # (D, K)
+        hw = jnp.where(e <= psi_reg, 1.0,
+                       psi_reg / jnp.maximum(e, 1e-30))
+        edge_mask = edge_mask * jnp.sqrt(hw)  # folded into the strip rows
     r0 = (yk - yj) * edge_mask[..., None]  # (D, K, 3)
 
     E = reg_idx.shape[0] * K
@@ -315,9 +326,9 @@ def _exp_update_dq(xi, pos):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tukey_offset", "psi_data", "lambda_reg", "linear_iter",
-                     "cg_tol", "knn_k", "relinearize", "min_update",
-                     "incremental"),
+    static_argnames=("tukey_offset", "psi_data", "lambda_reg", "psi_reg",
+                     "linear_iter", "cg_tol", "knn_k", "relinearize",
+                     "min_update", "incremental", "rot_prior"),
 )
 def solve(
     wf: wfield.WarpField,
@@ -328,12 +339,14 @@ def solve(
     tukey_offset: float = 4.652,
     psi_data: float = 0.01,
     lambda_reg: float = 200.0,
+    psi_reg: float = 1e-4,
     linear_iter: int = 256,
     cg_tol: float = 1e-12,
     knn_k: int = wfield.KNN,
     relinearize: int = 3,
     min_update: float = 0.0,
     incremental: bool = False,
+    rot_prior: float = 0.03,
 ):
     """SE(3) warp solve: (updated WarpField, Se3Stats).
 
@@ -389,9 +402,25 @@ def solve(
         delta = live_v - y
         B, Bu, Bw = _monomial_grams(data_idx, data_w, s2, y, delta, D)
         A_d, b_d = _assemble_data(B, Bu, Bw, wf.pos, D)
-        A_r, b_r, _ = _assemble_reg(wf_cur, reg_idx, edge_mask, reg_w2, D)
+        A_r, b_r, _ = _assemble_reg(wf_cur, reg_idx, edge_mask, reg_w2, D,
+                                    psi_reg=psi_reg)
         A = (A_d + A_r).reshape(D * 6, D * 6)
         b = (b_d + b_r).reshape(D * 6)
+        if rot_prior > 0.0:
+            # per-node rotation prior toward zero: on weakly-constrained
+            # geometry (a sphere observes no rotation about its normal;
+            # tangent rotations trade off against translation at mm
+            # residual scale) the omega directions are near-singular and
+            # soak up correspondence noise as tens of degrees of spin.
+            # Price a rotation theta like a translation theta * dg_w (the
+            # node's support radius), scaled by the node's OWN data
+            # strength (its u-block diagonal) — real rotation signal in
+            # the data dwarfs the prior, noise does not.
+            duu = jnp.einsum("kaka->ka", A_d)[:, :3].mean(-1)  # (D,)
+            lever2 = wf.w * wf.w
+            dvec = jnp.zeros((D, 6)).at[:, 3:].set(
+                (rot_prior * duu * lever2)[:, None])
+            A = A + jnp.diag(dvec.reshape(-1))
         xi_flat, iters = _pcg(A, b, jnp.zeros_like(b), linear_iter, cg_tol)
         xi = xi_flat.reshape(D, 6)
         xi = jnp.where(wf.mask[:, None], xi, 0.0)

@@ -203,6 +203,7 @@ def run_fusion_benchmark(
     warmup: int = 3,
     rows: int = 480,
     cols: int = 640,
+    rotations: bool = False,
 ) -> dict:
     """Persistent-canonical fusion mode (mode="fusion"): the DynamicFusion
     fusion model the reference scaffolded but never built
@@ -219,6 +220,7 @@ def run_fusion_benchmark(
     params = DynFuParams(
         kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
                           volume_dims=(volume_dims,) * 3),
+        solver_rotations=rotations,
         **caps,
     )
     engine = DynFusion(params, mode="fusion")

@@ -53,7 +53,10 @@ def test_se3_recovers_rotation_where_translations_cannot():
     R = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
     live = jnp.asarray(np.asarray(verts) @ R.T)
 
-    wf_r, stats = se3.solve(wf, verts, live, relinearize=3,
+    # 6 relinearizations: the rotation-step damping (rot_prior) is pure
+    # step damping, so the true rotation converges THROUGH it — each
+    # Gauss-Newton step re-aims at the remaining residual
+    wf_r, stats = se3.solve(wf, verts, live, relinearize=6,
                             lambda_reg=20.0)
     normals = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (500, 1))
     # rotate a tangent-ish normal set instead so the rotation is visible
@@ -62,7 +65,7 @@ def test_se3_recovers_rotation_where_translations_cannot():
     warped_r, warped_n = wfield.warp_points_normals_dlb(
         wf_r, verts, jnp.asarray(normals))
     err_r = np.median(np.linalg.norm(np.asarray(warped_r - live), -1))
-    assert err_r < 1e-4
+    assert err_r < 1e-4  # 0.015 mm measured
     # recovered node rotations match the true angle
     assert abs(float(stats.mean_rot_deg) - np.degrees(ang)) < 0.5
     # normals rotate by ~R (the translation solver cannot do this at all)

@@ -17,7 +17,6 @@ import os
 import numpy as np
 import pytest
 
-import jax.numpy as jnp
 
 from dynfu_tpu.core.camera import Intr
 from dynfu_tpu.engine.dynfusion import DynFusion
