@@ -109,3 +109,40 @@ def test_golden_rigid_trajectory():
                                [0.99978, 0.99999, 0.99979], atol=5e-4)
     np.testing.assert_allclose(np.asarray(t),
                                [0.00589, -0.00082, 0.00871], atol=2e-3)
+
+
+def test_golden_128cube_parity_sequence():
+    """The headline-config resolution (128-cube volume) pinned as a golden
+    at reduced image size (320x240 keeps the CPU runtime reasonable; the
+    volume-side code paths — hierarchical MC, windowed correspondence,
+    dense GN — are the 128-cube ones)."""
+    import numpy as np
+
+    from dynfu_tpu.core.camera import Intr
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+
+    rows, cols = 240, 320
+    intr = Intr(262.5, 262.5, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(128,) * 3),
+        max_vertices=1 << 15, max_mc_voxels=1 << 13,
+        max_nodes=256, max_new_nodes=128,
+    )
+    df = DynFusion(params)
+    for i in range(3):
+        df(sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols,
+                        262.5, 262.5, cols / 2 - 0.5, rows / 2 - 0.5))
+
+    wv, wm = df.warped_cloud()
+    v = np.asarray(wv)[np.asarray(wm)]
+    # recorded 2026-08-18 (round 2)
+    assert abs(len(v) - 7461) <= 150
+    np.testing.assert_allclose(v.mean(0), [1.51325, 1.51254, 0.59638],
+                               atol=2e-3)
+    np.testing.assert_allclose(v.std(0), [0.19381, 0.19382, 0.05160],
+                               atol=2e-3)
+    assert abs(int(df.warpfield.count) - 59) <= 4
+    assert int(df.last_frame_stats.corr_dropped) == 0
+    assert int(df.last_frame_stats.mc_dropped) == 0
