@@ -135,19 +135,29 @@ def integrate_warped(
 
     # --- warp through the field ("dqb" = the engine's reference-quirk
     # sequential-product blend; "dlb" = the proper Kavan blend the SE(3)
-    # solver path pairs with) ----------------------------------------------
-    _, sqd, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
-        wf, p_vol, knn_k)
-    blend_fn = {"dqb": wfield._dqb_from_features,
-                "dlb": wfield._dlb_from_features}[blend]
-    blend_dq = blend_fn(p_vol, n_pos, n_dq, n_w, n_valid)
-    from dynfu_tpu.core import dualquat as dq
+    # solver path pairs with). On TPU the whole band warp + support ratio
+    # is ONE fused Pallas kernel (ops/warp_pallas.py). -----------------------
+    from dynfu_tpu.ops import warp_pallas
 
-    p_warp = dq.dq_transform_point(blend_dq, p_vol)
-    # support gate: voxels outside every node's influence radius keep their
-    # canonical value (warp extrapolation there is meaningless)
-    ratio2 = jnp.where(n_valid, sqd / jnp.maximum(n_w * n_w, 1e-30), jnp.inf)
-    supported = jnp.min(ratio2, axis=-1) < 1.0
+    if warp_pallas.available():
+        p_warp, _, _, ratio = warp_pallas.warp_fused_tpu(
+            p_vol, jnp.zeros_like(p_vol), wf.pos, wf.dqs, wf.w, wf.mask,
+            k=knn_k, blend=blend)
+        supported = ratio < 1.0
+    else:
+        _, sqd, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
+            wf, p_vol, knn_k)
+        blend_fn = {"dqb": wfield._dqb_from_features,
+                    "dlb": wfield._dlb_from_features}[blend]
+        blend_dq = blend_fn(p_vol, n_pos, n_dq, n_w, n_valid)
+        from dynfu_tpu.core import dualquat as dq
+
+        p_warp = dq.dq_transform_point(blend_dq, p_vol)
+        # support gate: voxels outside every node's influence radius keep
+        # their canonical value (warp extrapolation there is meaningless)
+        ratio2 = jnp.where(n_valid, sqd / jnp.maximum(n_w * n_w, 1e-30),
+                           jnp.inf)
+        supported = jnp.min(ratio2, axis=-1) < 1.0
 
     # --- project into the live camera + projective SDF -------------------
     cam_from_vol = se3.compose(se3.inverse(camera_pose),

@@ -162,8 +162,19 @@ def _dlb_from_features(points, n_pos, n_dq, n_w, n_valid) -> jnp.ndarray:
 def warp_points_normals_dlb(wf: WarpField, points, normals):
     """warpToLive through the PROPER DLB blend: points get the full rigid
     transform, normals get the blended ROTATION only (no reference
-    quirks). The warp path for SE(3) solver state."""
+    quirks). The warp path for SE(3) solver state.
+
+    On TPU the whole warp runs as ONE Pallas kernel (ops/warp_pallas.py):
+    k-NN rounds, blend accumulation, and the point/normal transform never
+    leave VMEM."""
+    from dynfu_tpu.ops import warp_pallas
+
     points = jnp.asarray(points, jnp.float32)
+    if warp_pallas.available() and points.ndim == 2:
+        wp, wn, _, _ = warp_pallas.warp_fused_tpu(
+            points, jnp.asarray(normals, jnp.float32), wf.pos, wf.dqs,
+            wf.w, wf.mask, k=KNN, blend="dlb")
+        return wp, wn
     _, _, n_pos, n_dq, n_w, n_valid = neighbor_features(wf, points)
     blend = _dlb_from_features(points, n_pos, n_dq, n_w, n_valid)
     return (dq.dq_transform_point(blend, points),
@@ -196,18 +207,42 @@ def warp_points_normals(wf: WarpField, points, normals) -> Tuple[jnp.ndarray, jn
     Note the reference quirk: normals get transformVertex's full transform
     (translation included) because DualQuaternion::transformNormal is
     identical to transformVertex.
-    """
+
+    On TPU the whole warp runs as ONE Pallas kernel (ops/warp_pallas.py):
+    k-NN rounds, the sequential DQB product, and the transforms never
+    leave VMEM (the split formulation pays ~270 MB of k-NN feature
+    intermediates in HBM at the 512-cube workload)."""
+    from dynfu_tpu.ops import warp_pallas
+
+    points = jnp.asarray(points, jnp.float32)
+    if warp_pallas.available() and points.ndim == 2:
+        wp, wn, _, _ = warp_pallas.warp_fused_tpu(
+            points, jnp.asarray(normals, jnp.float32), wf.pos, wf.dqs,
+            wf.w, wf.mask, k=KNN, blend="dqb")
+        return wp, wn
     blend = calc_dqb(wf, points)
     return dq.dq_transform_point(blend, points), dq.dq_transform_normal(blend, normals)
 
 
 @jax.jit
 def unsupported_mask(wf: WarpField, points, point_mask=None) -> jnp.ndarray:
-    """True where min over 8-NN of dist/dg_w >= 1 (warp_field.cpp:34-61)."""
-    _, sqd, _, _, n_w, valid = neighbor_features(wf, points)
-    ratio = jnp.sqrt(sqd) / n_w
-    ratio = jnp.where(valid, ratio, jnp.inf)
-    unsupported = jnp.min(ratio, axis=-1) >= 1.0
+    """True where min over 8-NN of dist/dg_w >= 1 (warp_field.cpp:34-61).
+
+    On TPU the ratio falls out of the fused warp kernel's k-NN rounds
+    (ops/warp_pallas.py) without the (Q, k, F) feature intermediates."""
+    from dynfu_tpu.ops import warp_pallas
+
+    points = jnp.asarray(points, jnp.float32)
+    if warp_pallas.available() and points.ndim == 2:
+        _, _, _, ratio = warp_pallas.warp_fused_tpu(
+            points, jnp.zeros_like(points), wf.pos, wf.dqs, wf.w, wf.mask,
+            k=KNN, blend="dqb")
+        unsupported = ratio >= 1.0
+    else:
+        _, sqd, _, _, n_w, valid = neighbor_features(wf, points)
+        ratio = jnp.sqrt(sqd) / n_w
+        ratio = jnp.where(valid, ratio, jnp.inf)
+        unsupported = jnp.min(ratio, axis=-1) >= 1.0
     if point_mask is not None:
         unsupported = unsupported & point_mask
     return unsupported
