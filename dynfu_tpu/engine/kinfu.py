@@ -155,13 +155,18 @@ class KinFu:
             self.frame_counter += 1
             return False
 
+        ok = False
         if p.icp_assoc == "stencil":
             (R, t), ok = icp.estimate_transform_stencil(
                 curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
                 dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
                 radii=p.icp_stencil_radii,
             )
-        else:
+        if not bool(ok):
+            # gather path: either configured, or the rescue tier when the
+            # stencil windows dropped enough correspondences to trip the
+            # degeneracy guard (tiny images / large motions) — pay the
+            # exact reference semantics only on the rare failure frame
             (R, t), ok = icp.estimate_transform(
                 curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
                 dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
