@@ -39,6 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dynfu_tpu.engine import dynfusion as dyn
+from dynfu_tpu.ops import pallas_config
 from dynfu_tpu.engine.params import DynFuParams
 from dynfu_tpu.solver import gn
 from dynfu_tpu.volume import tsdf as tv
@@ -77,11 +78,19 @@ def sharded_engine_frame(
     blocked, repl, rows, vol_s, wf_s = _shardings(mesh)
 
     def step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose):
-        return dyn._nonrigid_frame(
-            vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose,
-            dp=dp, intr=intr, config=config, strict_parity=strict_parity,
-            integrate_mode=integrate_mode,
-        )
+        # GSPMD cannot partition a pallas_call over sharded operands; the
+        # sharded trace forces the XLA formulations (which partition
+        # cleanly and are what test_dist certifies vs single-device)
+        # the UNJITTED body: the inner jit's trace cache does not key on
+        # the pallas flag, so going through it could replay a
+        # pallas-containing jaxpr traced for single-chip use
+        with pallas_config.no_pallas():
+            return dyn._nonrigid_frame.__wrapped__(
+                vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
+                pose, dp=dp, intr=intr, config=config,
+                strict_parity=strict_parity,
+                integrate_mode=integrate_mode,
+            )
 
     stats_s = dyn.FrameStats(
         solve=jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0, 0)),
@@ -101,10 +110,11 @@ def sharded_fusion_frame(mesh: Mesh, dp: DynFuParams, intr,
     blocked, repl, rows, vol_s, wf_s = _shardings(mesh)
 
     def step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose):
-        return dyn._fusion_frame(
-            vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose,
-            dp=dp, intr=intr, config=config,
-        )
+        with pallas_config.no_pallas():
+            return dyn._fusion_frame.__wrapped__(
+                vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
+                pose, dp=dp, intr=intr, config=config,
+            )
 
     stats_s = dyn.FusionFrameStats(
         solve=jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0, 0)),

@@ -126,10 +126,9 @@ def knn_gather_tpu(
 
 def available() -> bool:
     """Pallas path is for real TPU execution; CPU tests keep the XLA
-    formulation (interpret mode would be slower, not more correct).
-    DYNFU_NO_PALLAS=1 forces the XLA path everywhere (A/B benching)."""
-    import os
+    formulation. Gated off by DYNFU_NO_PALLAS=1 (A/B benching) and inside
+    multi-device traces (ops/pallas_config.no_pallas — GSPMD cannot
+    partition a pallas_call)."""
+    from dynfu_tpu.ops.pallas_config import pallas_enabled
 
-    if os.environ.get("DYNFU_NO_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu"
+    return pallas_enabled()

@@ -1,0 +1,42 @@
+"""Process-wide switch for the Pallas TPU kernels.
+
+The kernels (ops/knn_pallas, ops/corr_pallas, ops/warp_pallas,
+solver/gram_pallas) dispatch at TRACE time via their `available()` checks.
+Two situations must force the XLA formulations instead:
+
+* `DYNFU_NO_PALLAS=1` in the environment — A/B benchmarking;
+* a multi-device (GSPMD) trace — XLA's SPMD partitioner cannot partition a
+  `pallas_call` over a sharded operand, so the sharded engine programs
+  (dist/engine_spmd.py) trace the engine bodies under `no_pallas()`; the
+  pure-XLA formulations partition cleanly (that is what
+  tests/test_dist.py certifies against single-device outputs).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+_disabled = 0
+
+
+@contextlib.contextmanager
+def no_pallas():
+    """Force the XLA formulations for every dispatch inside the context
+    (trace-time effect; nestable)."""
+    global _disabled
+    _disabled += 1
+    try:
+        yield
+    finally:
+        _disabled -= 1
+
+
+def pallas_enabled() -> bool:
+    """True when Pallas kernels may be used: TPU backend, not disabled by
+    env or an enclosing no_pallas() scope."""
+    import jax
+
+    if _disabled or os.environ.get("DYNFU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"

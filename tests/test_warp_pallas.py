@@ -76,3 +76,29 @@ def test_fused_warp_unsupported_far_points():
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(far), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_n), np.asarray(nrm), atol=1e-5)
     assert (np.asarray(ratio) >= 1.0).all()
+
+
+def test_no_pallas_scope_disables_dispatch(monkeypatch):
+    """ops/pallas_config.no_pallas(): the sharded engine traces rely on it
+    to force the XLA formulations (GSPMD cannot partition a pallas_call)."""
+    import jax
+
+    from dynfu_tpu.ops import pallas_config
+    from dynfu_tpu.ops import knn_pallas, corr_pallas
+    from dynfu_tpu.solver import gram_pallas
+
+    monkeypatch.delenv("DYNFU_NO_PALLAS", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert knn_pallas.available()
+    assert corr_pallas.available()
+    assert gram_pallas.available()
+    assert warp_pallas.available()
+    with pallas_config.no_pallas():
+        assert not knn_pallas.available()
+        assert not warp_pallas.available()
+        with pallas_config.no_pallas():  # nestable
+            assert not gram_pallas.available()
+        assert not corr_pallas.available()
+    assert warp_pallas.available()
+    monkeypatch.setenv("DYNFU_NO_PALLAS", "1")
+    assert not warp_pallas.available()
