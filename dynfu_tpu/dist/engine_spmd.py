@@ -42,6 +42,7 @@ from dynfu_tpu.engine import dynfusion as dyn
 from dynfu_tpu.ops import pallas_config
 from dynfu_tpu.engine.params import DynFuParams
 from dynfu_tpu.solver import gn
+from dynfu_tpu.solver import se3 as se3_solver
 from dynfu_tpu.volume import tsdf as tv
 from dynfu_tpu.warp import field as wfield
 
@@ -116,8 +117,10 @@ def sharded_fusion_frame(mesh: Mesh, dp: DynFuParams, intr,
                 pose, dp=dp, intr=intr, config=config,
             )
 
+    solve_proto = (se3_solver.Se3Stats(0, 0, 0, 0) if dp.solver_rotations
+                   else gn.SolveStats(0, 0, 0, 0))
     stats_s = dyn.FusionFrameStats(
-        solve=jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0, 0)),
+        solve=jax.tree_util.tree_map(lambda _: repl, solve_proto),
         mc_dropped=repl, corr_dropped=repl,
         band=jax.tree_util.tree_map(
             lambda _: repl, dyn.vfusion.FusionStats(0, 0, 0)),

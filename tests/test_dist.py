@@ -218,3 +218,47 @@ def test_sharded_matches_unsharded_solve(mesh):
     np.testing.assert_allclose(
         np.asarray(a.dqs), np.asarray(b.dqs), atol=1e-5
     )
+
+
+def test_sharded_fusion_frame_with_se3_rotations(mesh):
+    """The fusion frame with solver_rotations=True — SE(3) solve + DLB
+    warp — also executes under the mesh and matches the single-device
+    program (the 6D normal-equation assembly reduces its vertex-sharded
+    monomial Grams with the same psum pattern as the translation solve)."""
+    import dataclasses
+
+    from dynfu_tpu.dist.engine_spmd import (place_engine_state,
+                                            sharded_fusion_frame)
+    from dynfu_tpu.engine.dynfusion import DynFusion, _fusion_frame
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+
+    rows, cols = 120, 160
+    intr = Intr(131.25, 131.25, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(64, 64, 64)),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64,
+        fusion_max_active=1 << 15,
+        solver_rotations=True, se3_relinearize=2,
+    )
+    engine = DynFusion(params, mode="fusion")
+    d0 = sphere_depth((0.0, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    d1 = sphere_depth((0.008, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    engine(d0)
+
+    dp, cfg = engine.dynfu_params, engine.tsdf_config
+    c, pose = engine.canonical, engine.poses[-1]
+    args = (engine.vol, engine.warpfield, c.vertices, c.normals, c.mask,
+            jnp.asarray(d1, jnp.int32), pose)
+
+    ref = _fusion_frame(*args, dp=dp, intr=intr, config=cfg)
+    step = sharded_fusion_frame(mesh, dp, intr, cfg)
+    got = step(*place_engine_state(mesh, *args))
+
+    assert int(got[5]) == int(ref[5]) > 0  # n_verts
+    np.testing.assert_allclose(np.asarray(got[1].dqs),
+                               np.asarray(ref[1].dqs), atol=1e-5)
