@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     bench.add_argument("--stages", action="store_true",
                        help="report per-stage ms (profiling breakdown) "
                             "instead of end-to-end fps")
+    bench.add_argument("--profile", default=None, metavar="DIR",
+                       help="write a jax.profiler trace of the benchmark "
+                            "to DIR (inspect with TensorBoard/XProf); "
+                            "unsupported backends degrade to a warning")
     bench.add_argument("--rotations", action="store_true",
                        help="with --fusion: per-node SE(3) solve + DLB warp")
     bench.add_argument("--fusion", action="store_true",
@@ -83,17 +87,46 @@ def main(argv=None) -> int:
             run_benchmark, run_fusion_benchmark, run_rigid_benchmark,
             run_stage_benchmark)
 
+        import contextlib
+
+        @contextlib.contextmanager
+        def _maybe_profile():
+            if not args.profile:
+                yield
+                return
+            import jax
+
+            try:
+                jax.profiler.start_trace(args.profile)
+            except Exception as e:  # axon may not support profiling
+                print(f"# profiler unavailable: {e}")
+                yield
+                return
+            try:
+                yield
+            finally:
+                try:
+                    jax.profiler.stop_trace()
+                    print(f"# trace written to {args.profile}")
+                except Exception as e:
+                    print(f"# trace stop failed: {e}")
+
         if args.stages:
-            result = run_stage_benchmark(volume_dims=args.volume_dims)
+            with _maybe_profile():
+                result = run_stage_benchmark(volume_dims=args.volume_dims)
         elif args.fusion:
-            result = run_fusion_benchmark(volume_dims=args.volume_dims,
-                                          frames=args.frames,
-                                          rotations=args.rotations)
+            with _maybe_profile():
+                result = run_fusion_benchmark(volume_dims=args.volume_dims,
+                                              frames=args.frames,
+                                              rotations=args.rotations)
         elif args.rigid:
-            result = run_rigid_benchmark(volume_dims=args.volume_dims,
-                                         frames=args.frames)
+            with _maybe_profile():
+                result = run_rigid_benchmark(volume_dims=args.volume_dims,
+                                             frames=args.frames)
         else:
-            result = run_benchmark(volume_dims=args.volume_dims, frames=args.frames)
+            with _maybe_profile():
+                result = run_benchmark(volume_dims=args.volume_dims,
+                                       frames=args.frames)
         print(result)
         return 0
     if args.cmd == "synth":

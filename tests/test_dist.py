@@ -262,3 +262,36 @@ def test_sharded_fusion_frame_with_se3_rotations(mesh):
     assert int(got[5]) == int(ref[5]) > 0  # n_verts
     np.testing.assert_allclose(np.asarray(got[1].dqs),
                                np.asarray(ref[1].dqs), atol=1e-5)
+
+
+def test_shard_map_pallas_warp_matches(mesh):
+    """dist/shard_warp.py: the fused Pallas warp kernel per device via
+    shard_map (vertices row-sharded, node state replicated) — the
+    multi-chip path that KEEPS the kernels, vs the GSPMD trace that must
+    fall back to XLA. Validated in interpret mode on the CPU mesh."""
+    import numpy as np
+
+    from dynfu_tpu.core import dualquat as dq
+    from dynfu_tpu.dist.shard_warp import warp_points_normals_sharded
+    from dynfu_tpu.warp import field as wfield
+
+    rng = np.random.RandomState(5)
+    nodes = (rng.rand(12, 3).astype(np.float32) - 0.5) * 0.6
+    wf = wfield.init_warpfield(
+        nodes, weights=np.full(12, 0.3, np.float32), capacity=16)
+    rod = jnp.asarray(rng.randn(16, 3).astype(np.float32) * 0.04)
+    t = jnp.asarray(rng.randn(16, 3).astype(np.float32) * 0.01)
+    wf = wf._replace(dqs=jnp.where(wf.mask[:, None],
+                                   dq.dq_from_rodrigues(rod, t), wf.dqs))
+
+    Q = 1024  # divides the 8-device mesh
+    pts = jnp.asarray((rng.rand(Q, 3).astype(np.float32) - 0.5) * 0.6)
+    nrm = jnp.asarray(rng.randn(Q, 3).astype(np.float32))
+
+    want_p, want_n = wfield.warp_points_normals(wf, pts, nrm)
+    got_p, got_n = warp_points_normals_sharded(mesh, wf, pts, nrm,
+                                               blend="dqb", tq=128)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
+                               atol=2e-5)
