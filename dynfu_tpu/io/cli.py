@@ -14,6 +14,10 @@ import sys
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="dynfu", description=__doc__)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the axon TPU plugin "
+                             "ignores JAX_PLATFORMS=cpu; this sets "
+                             "jax.config before any jax use)")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="run non-rigid fusion on a dataset dir")
@@ -59,6 +63,11 @@ def main(argv=None) -> int:
     synth.add_argument("--cols", type=int, default=640)
 
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.cmd == "run":
         from dynfu_tpu.utils.device import print_short_device_info
