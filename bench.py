@@ -11,12 +11,37 @@ import json
 import sys
 
 
+def _wait_for_backend(retries: int = 10, delay_s: float = 30.0):
+    """The axon TPU tunnel occasionally drops and is restored out-of-band;
+    a benchmark launched into the gap should wait it out, not record a
+    crash. Probes in a SUBPROCESS — jax caches a failed backend init for
+    the life of the process, so an in-process retry would never recover.
+    Falls through after the retry budget (the main-process init then
+    reports the real error)."""
+    import subprocess
+    import time
+
+    probe = "import jax; jax.devices(); print('ok')"
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=120)
+            if b"ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend unavailable (attempt {attempt + 1}/{retries});"
+              f" retrying in {delay_s:.0f}s", file=sys.stderr)
+        time.sleep(delay_s)
+
+
 def main() -> int:
     from dynfu_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
     import os
 
+    _wait_for_backend()
     from dynfu_tpu.utils.benchmarks import run_benchmark
 
     dims = int(os.environ.get("DYNFU_BENCH_DIMS", "128"))
