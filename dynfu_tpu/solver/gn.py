@@ -354,6 +354,13 @@ def solve(
         # integration bakes that jitter into the canonical volume forever.
         # Real motion passes through with a bounded lag <= min_update
         # (the un-applied part reappears in the next frame's residual).
+        # MEASURED alternatives at 64-cube, 12-frame moving sphere
+        # (canonical/warped median mm): soft 6.9/6.1, HARD deadband
+        # 8.2/5.2 (weak-data nodes zero out every frame and tear),
+        # no gate 3.2/0.5 (but static scenes random-walk to 3.7 mm).
+        # The accuracy configuration is solver_rotations=True: the SE(3)
+        # solve's relinearized updates + node-local hard gate measure
+        # 4.1/0.45 moving AND 2.3/0.6 static.
         norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
         t = t * jnp.maximum(0.0, 1.0 - min_update / jnp.maximum(norm, 1e-12))
     return wfield.compose_translations(wf, t), stats

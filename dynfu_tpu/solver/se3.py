@@ -439,14 +439,14 @@ def solve(
         gn_step, (upd0, y0), None, length=max(relinearize, 1))
 
     if min_update > 0.0:
-        # gate on the applied update's translation (same role as
-        # gn.solve's soft-threshold: keep static scenes static in fusion
-        # mode). Sub-threshold updates zero out ENTIRELY — rescaling a
-        # rigid transform's log jointly would be the soft version, but the
-        # gate's purpose is exactly-zero updates under noise, which the
-        # hard form gives directly.
-        t_upd = dq.dq_translation(upd)
-        norm = jnp.linalg.norm(t_upd, axis=-1, keepdims=True)
+        # hard deadband on the NODE'S OWN displacement |upd(p_k) - p_k|
+        # (keep static scenes static in fusion mode — sub-threshold noise
+        # fits zero out entirely, real motion passes unchanged). The dq's
+        # raw translation would be the displacement of the global ORIGIN,
+        # which a small rotation about a node meters away turns into a
+        # meter-scale number — gating on it never holds.
+        moved = dq.dq_transform_point(upd, wf.pos) - wf.pos
+        norm = jnp.linalg.norm(moved, axis=-1, keepdims=True)
         upd = jnp.where(norm > min_update, upd,
                         jnp.broadcast_to(dq.dq_identity(), upd.shape))
 

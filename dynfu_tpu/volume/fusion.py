@@ -185,6 +185,10 @@ def integrate_warped(
         n_pix = normals[vi, ui]  # camera frame, oriented toward the camera
         cos_view = -jnp.sum(vc * n_pix, axis=-1) / jnp.maximum(rnorm, 1e-9)
         update = update & jnp.isfinite(cos_view) & (cos_view > min_cos)
+        # (a projective-SDF cosine debias — sdf *= cos(ray, normal) — was
+        # measured here: no improvement on the accuracy benchmarks, and it
+        # breaks the identity-warp == rigid-integrator anchor invariant;
+        # the obliquity gate above already rejects the biased tail)
 
     # --- running-average update at the compacted voxels -------------------
     tsdf_prev = F16[vx, vy, vz].astype(jnp.float32)
