@@ -189,7 +189,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
             relinearize=dp.se3_relinearize, incremental=True,
-            rot_prior=dp.se3_rot_prior,
+            rot_prior=dp.se3_rot_prior, trans_prior=dp.se3_trans_prior,
         )
     else:
         wf, solve_stats = gn.solve(
@@ -303,7 +303,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             lambda_reg=dp.lambda_reg,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
             relinearize=dp.se3_relinearize, incremental=True,
-            rot_prior=dp.se3_rot_prior,
+            rot_prior=dp.se3_rot_prior, trans_prior=dp.se3_trans_prior,
             min_update=dp.fusion_min_update_vox * min(config.voxel_size),
         )
     else:

@@ -152,6 +152,10 @@ class DynFuParams:
     # wired (energy.t:30,78). fusion/fixed modes only; parity keeps the
     # reference's translations-only solve.
     se3_relinearize: int = 3  # Gauss-Newton relinearizations per frame
+    se3_trans_prior: float = 0.0  # translation step damping scaled by the
+    # MEAN node data strength (se3.solve trans_prior): dominates weak-data
+    # rim nodes whose noise fits leak past the min_update gate, barely
+    # touches well-observed nodes
     se3_rot_prior: float = 0.03  # per-step rotation damping (se3.solve
     # rot_prior): prices a step rotation theta like a translation
     # theta * dg_w scaled by the node's own data strength. Pure step

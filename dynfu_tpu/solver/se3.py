@@ -328,7 +328,8 @@ def _exp_update_dq(xi, pos):
     jax.jit,
     static_argnames=("tukey_offset", "psi_data", "lambda_reg", "psi_reg",
                      "linear_iter", "cg_tol", "knn_k", "relinearize",
-                     "min_update", "incremental", "rot_prior"),
+                     "min_update", "incremental", "rot_prior",
+                     "trans_prior"),
 )
 def solve(
     wf: wfield.WarpField,
@@ -347,6 +348,7 @@ def solve(
     min_update: float = 0.0,
     incremental: bool = False,
     rot_prior: float = 0.03,
+    trans_prior: float = 0.0,
 ):
     """SE(3) warp solve: (updated WarpField, Se3Stats).
 
@@ -406,6 +408,21 @@ def solve(
                                     psi_reg=psi_reg)
         A = (A_d + A_r).reshape(D * 6, D * 6)
         b = (b_d + b_r).reshape(D * 6)
+        if trans_prior > 0.0:
+            # translation step damping scaled by the MEAN data strength:
+            # weak-data nodes (silhouette rims, sparse support) otherwise
+            # fit mm-scale observation wiggles each frame that leak past
+            # the min_update gate into the canonical volume. Scaling by
+            # the mean (not the node's own strength) is the point — it
+            # dominates weak nodes while barely touching strong ones, and
+            # as pure step damping real motion still converges through it
+            # across relinearizations.
+            duu_all = jnp.einsum("kaka->ka", A_d)[:, :3].mean(-1)
+            m_active = wf.mask.astype(jnp.float32)
+            mean_duu = (jnp.sum(duu_all * m_active)
+                        / jnp.maximum(jnp.sum(m_active), 1.0))
+            dvec_u = jnp.zeros((D, 6)).at[:, :3].set(trans_prior * mean_duu)
+            A = A + jnp.diag(dvec_u.reshape(-1))
         if rot_prior > 0.0:
             # per-node rotation prior toward zero: on weakly-constrained
             # geometry (a sphere observes no rotation about its normal;
