@@ -230,9 +230,10 @@ def _apply_rows(pose, p):
             + p[:, 2:3] * R[None, :, 2] + t)
 
 
-@functools.partial(jax.jit, static_argnames=("dp", "intr", "config"))
+@functools.partial(jax.jit, static_argnames=("dp", "intr", "config",
+                                             "solve_enabled"))
 def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
-                  pose, *, dp, intr, config):
+                  pose, *, dp, intr, config, solve_enabled: bool = True):
     """Frame k of the PERSISTENT-canonical pipeline (mode="fusion") as one
     XLA program — the DynamicFusion fusion model (Newcombe et al. §3.3)
     the reference scaffolded but never built (dyn_fusion.cpp:107-116):
@@ -296,7 +297,15 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
               & (dist2 < dp.fusion_corr_dist ** 2))
     lp_vol = jnp.where(corr_m[:, None], foot, 0.0)
 
-    if dp.solver_rotations:
+    if not solve_enabled:
+        # warm-up frames: integrate without warping (see
+        # DynFuParams.fusion_warmup_frames)
+        z = jnp.float32(0.0)
+        if dp.solver_rotations:
+            solve_stats = se3_solver.Se3Stats(z, z, jnp.int32(0), z)
+        else:
+            solve_stats = gn.SolveStats(z, z, jnp.int32(0), z)
+    elif dp.solver_rotations:
         wf, solve_stats = se3_solver.solve(
             wf, wv, lp_vol, vert_mask=corr_m,
             tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
@@ -449,6 +458,7 @@ class DynFusion(KinFu):
                 self.vol, self.warpfield, c.vertices, c.normals, c.mask,
                 depth_mm, self.poses[-1],
                 dp=dp, intr=p.intr, config=self.tsdf_config,
+                solve_enabled=self.frame_counter > dp.fusion_warmup_frames,
             )
             self.canonical = Frame(self.frame_counter, new_v, new_n, new_m)
             self.canonical_warped = Frame(self.frame_counter, wv2, wn2, new_m)

@@ -152,6 +152,14 @@ class DynFuParams:
     # wired (energy.t:30,78). fusion/fixed modes only; parity keeps the
     # reference's translations-only solve.
     se3_relinearize: int = 3  # Gauss-Newton relinearizations per frame
+    fusion_warmup_frames: int = 0  # fusion-mode frames after bootstrap
+    # whose observations integrate WITHOUT a solve (identity updates).
+    # Accuracy knob for sequences that START at rest: the first frames'
+    # residuals are frame-0 discretization noise, and warping the
+    # canonical toward it bakes it in permanently where plain integration
+    # would average it away (64-cube study: warmup=2 takes the static
+    # canonical error 2.32 -> 1.98 mm; scenes moving from frame 0 lose a
+    # little motion tracking during the warmup, so default off)
     se3_trans_prior: float = 0.0  # translation step damping scaled by the
     # MEAN node data strength (se3.solve trans_prior): dominates weak-data
     # rim nodes whose noise fits leak past the min_update gate, barely

@@ -120,3 +120,25 @@ def test_fusion_with_se3_rotations():
     # sphere: rotations weakly observable -> the rot_prior step damping
     # keeps the noise-fit spin bounded)
     assert float(fs.solve.mean_rot_deg) < 15.0
+
+
+def test_fusion_warmup_improves_static_canonical():
+    """fusion_warmup_frames: integrating the first post-bootstrap frames
+    without a solve keeps frame-0 discretization noise from being warped
+    into the canonical volume (see DynFuParams)."""
+    import dataclasses
+
+    seq = [sphere_depth(CENTER, RADIUS) for _ in range(8)]
+
+    def err(warmup):
+        params = dataclasses.replace(small_dynfu_params(),
+                                     solver_rotations=True,
+                                     fusion_warmup_frames=warmup)
+        df = DynFusion(params, mode="fusion")
+        for f in seq:
+            df(f)
+        cv, cm = df.canonical.vertices, np.asarray(df.canonical.mask)
+        return np.median(surface_error(cv, cm, np.asarray(CENTER) - VOL_T,
+                                       RADIUS))
+
+    assert err(2) < err(0) - 1e-4
