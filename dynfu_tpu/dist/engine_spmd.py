@@ -93,8 +93,11 @@ def sharded_engine_frame(
                 integrate_mode=integrate_mode,
             )
 
+    solve_proto = (se3_solver.Se3Stats(0, 0, 0, 0)
+                   if (dp.solver_rotations and not strict_parity)
+                   else gn.SolveStats(0, 0, 0, 0))
     stats_s = dyn.FrameStats(
-        solve=jax.tree_util.tree_map(lambda _: repl, gn.SolveStats(0, 0, 0, 0)),
+        solve=jax.tree_util.tree_map(lambda _: repl, solve_proto),
         mc_dropped=repl, corr_dropped=repl,
     )
     out_s = (vol_s, wf_s, rows, rows, rows, rows, rows, rows, repl, stats_s)

@@ -291,7 +291,14 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # wv + n·(lp-wv) n keeps only the normal-distance component.
     n_dot = jnp.sum(ln_vol * (lp_vol - wv), axis=-1)
     foot = wv + n_dot[:, None] * ln_vol
-    facing = jnp.sum(ln_vol * wn, axis=-1) > 0.0
+    # facing gate: needs a PROPERLY rotated canonical normal. The DLB
+    # branch's wn is one; the quirk-DQB branch's wn carries the blended
+    # TRANSLATION too (dq_transform_normal == transformVertex), which at
+    # decimeter-scale accumulated warps swamps the cosine — but a
+    # translations-only field has identity blended rotation, so the
+    # properly-rotated normal IS the canonical normal unchanged.
+    facing_n = wn if dp.solver_rotations else canonical_n
+    facing = jnp.sum(ln_vol * facing_n, axis=-1) > 0.0
     corr_m = (canonical_m & in_img & jnp.isfinite(lp_cam[:, 0])
               & jnp.isfinite(ln_cam[:, 0]) & facing
               & (dist2 < dp.fusion_corr_dist ** 2))
@@ -309,7 +316,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         wf, solve_stats = se3_solver.solve(
             wf, wv, lp_vol, vert_mask=corr_m,
             tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
-            lambda_reg=dp.lambda_reg,
+            lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
             relinearize=dp.se3_relinearize, incremental=True,
             rot_prior=dp.se3_rot_prior, trans_prior=dp.se3_trans_prior,

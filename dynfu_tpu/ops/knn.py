@@ -616,12 +616,9 @@ def _window_pass_pallas(qs0, pts, Q: int, P: int, W: int,
     nv = jnp.maximum(jnp.sum(vp, axis=1).astype(jnp.float32), 1.0)
     bmean = jnp.sum(jnp.where(vp, xb, 0.0), axis=1) / nv
     bmean = jnp.where(jnp.any(vp, axis=1), bmean, BIG)
-    bmax = jnp.max(jnp.where(vp, xb, -jnp.inf), axis=1)
-    bmin = jnp.min(jnp.where(vp, xb, jnp.inf), axis=1)
-    pre = jnp.concatenate([jnp.asarray([-jnp.inf], jnp.float32),
-                           jax.lax.cummax(bmax)])
-    suf = jnp.concatenate([jax.lax.cummin(bmin, reverse=True),
-                           jnp.asarray([jnp.inf], jnp.float32)])
+    # order-free exactness bounds shared with the XLA sweep (only the
+    # x column is read, so the (Pp, 1) view suffices)
+    pre, suf = _window_bounds(xpad[:, None], B)
 
     qx = qsP[:, 0].reshape(nqt, tq)
     vq = qx < 1e37

@@ -62,7 +62,11 @@ def _knn_kernel(q_ref, pts_ref, tab_ref, sqd_ref, idx_ref, feat_ref, *, k, fp):
         oh = (rows == am[None, :]).astype(jnp.float32)  # (D, TQ)
         feat_ref[r * fp:(r + 1) * fp, :] = jnp.dot(
             tabT, oh, preferred_element_type=jnp.float32)
-        d2 = jnp.where(oh > 0, jnp.float32(_FAR * _FAR), d2)
+        # selected entries go to +inf — NOT _FAR^2 (1e18), which sits
+        # BELOW a masked node's actual distance (~3e18): with fewer than
+        # k valid nodes that would re-select valid nodes at full weight
+        # where the XLA path returns weight-0 masked slots
+        d2 = jnp.where(oh > 0, jnp.float32(jnp.inf), d2)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "interpret"))

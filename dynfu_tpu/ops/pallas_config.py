@@ -23,13 +23,26 @@ _disabled = 0
 @contextlib.contextmanager
 def no_pallas():
     """Force the XLA formulations for every dispatch inside the context
-    (trace-time effect; nestable)."""
+    (trace-time effect; nestable).
+
+    Clears the jit trace caches at BOTH boundaries: the flag is not part
+    of any inner @jax.jit cache key, so a pallas-containing jaxpr traced
+    before the scope (e.g. gn.solve during single-chip frames) would
+    otherwise be replayed inside a multi-device trace — and vice versa.
+    Re-tracing is Python-cost only; compiled TPU executables reload from
+    the persistent compilation cache."""
     global _disabled
+    import jax
+
+    if _disabled == 0:
+        jax.clear_caches()
     _disabled += 1
     try:
         yield
     finally:
         _disabled -= 1
+        if _disabled == 0:
+            jax.clear_caches()
 
 
 def pallas_enabled() -> bool:

@@ -112,7 +112,11 @@ def _warp_kernel(q_ref, n_ref, pts_ref, tab_ref, out_ref, *, k, blend):
             sign = jnp.where(dot < 0.0, -1.0, 1.0)
             acc = [a + wn * sign * n_dq[c] for c, a in enumerate(acc)]
             wsum = wsum + wn
-        d2 = jnp.where(oh > 0, jnp.float32(_FAR * _FAR), d2)
+        # selected entries go to +inf — NOT _FAR^2 (1e18), which sits
+        # BELOW a masked node's actual distance (~3e18): with fewer than
+        # k valid nodes that would re-select valid nodes at full weight
+        # where the XLA path returns weight-0 masked slots
+        d2 = jnp.where(oh > 0, jnp.float32(jnp.inf), d2)
 
     if blend == "dqb":
         # real-only normalization (reference quirk)

@@ -435,3 +435,37 @@ def test_corr_pallas_sweep_matches_xla_window_pass():
           - pts[None].astype(np.float64)) ** 2).sum(-1)
     dg = ((queries - got).astype(np.float64) ** 2).sum(1)
     assert (dg[exact] <= d.min(1)[exact] + 1e-7).all()
+
+
+def test_knn_pallas_fewer_valid_nodes_than_k():
+    """With fewer than k valid nodes the kernel must return weight-0
+    masked slots (like the XLA path) — NOT re-select valid nodes at full
+    weight (the old selected-entry reset of 1e18 sat BELOW a masked
+    node's ~3e18 distance)."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn, knn_pallas
+
+    rng = np.random.RandomState(17)
+    D, Q, k = 8, 140, 8
+    pts = jnp.asarray(rng.rand(D, 3).astype(np.float32))
+    mask = jnp.asarray([True, True, True, False, False, False, False,
+                        False])
+    table = jnp.asarray(rng.rand(D, 5).astype(np.float32))
+    queries = jnp.asarray(rng.rand(Q, 3).astype(np.float32))
+
+    idx_x, sqd_x, f_x = knn.knn_gather(queries, pts, k, table, mask)
+    idx_p, sqd_p, f_p = knn_pallas.knn_gather_tpu(
+        queries, pts, k, table, mask, tq=128, interpret=True)
+    # the 3 valid nodes come back identically and exactly once
+    np.testing.assert_array_equal(np.asarray(idx_p[:, :3]),
+                                  np.asarray(idx_x[:, :3]))
+    np.testing.assert_allclose(np.asarray(sqd_p[:, :3]),
+                               np.asarray(sqd_x[:, :3]), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_p[:, :3]),
+                               np.asarray(f_x[:, :3]), atol=1e-6)
+    # no valid node is selected twice
+    for r in range(3, k):
+        assert not np.isin(np.asarray(idx_p[:, r]),
+                           np.asarray(idx_p[:, :3])).any()
