@@ -102,3 +102,31 @@ def test_no_pallas_scope_disables_dispatch(monkeypatch):
     assert warp_pallas.available()
     monkeypatch.setenv("DYNFU_NO_PALLAS", "1")
     assert not warp_pallas.available()
+
+
+def test_no_pallas_scope_forces_retrace():
+    """The no_pallas() boundary must invalidate inner jit caches: a jaxpr
+    traced OUTSIDE the scope (pallas dispatch on) must not replay inside
+    it (pallas off), and vice versa — the flag is not part of any jit
+    cache key (dist/engine_spmd.py relies on this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import pallas_config
+
+    calls = []
+
+    @jax.jit
+    def fn(x):
+        calls.append(pallas_config.pallas_enabled())
+        return x + 1
+
+    fn(jnp.ones(3))  # trace 1 (outside)
+    fn(jnp.ones(3))  # cached — no new trace
+    assert len(calls) == 1
+    with pallas_config.no_pallas():
+        fn(jnp.ones(3))  # boundary cleared the cache -> trace 2
+        fn(jnp.ones(3))  # cached inside the scope
+    assert len(calls) == 2
+    fn(jnp.ones(3))  # exit boundary cleared again -> trace 3
+    assert len(calls) == 3
