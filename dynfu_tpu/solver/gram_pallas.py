@@ -124,6 +124,136 @@ def data_normal_tpu(
     return A[:D, :D], b[:D, :3]
 
 
+_MONO_GROUPS = 5  # 10 monomial Grams in 5 pairs: (D, D) f32 accumulators
+#                    must stay VMEM-resident per grid step, so the grid's
+#                    second axis walks PAIRS (2 x 4 MB at D=1024 + strips
+#                    fits the ~16 MB budget)
+
+
+def _mono_gram_kernel(idxT_ref, wsT_ref, yT_ref, dT_ref, a_ref, rhs_ref,
+                      *, k, D):
+    """One (vertex-tile, monomial-pair) grid step: build the s2-scaled
+    weight strip in the nodes-on-sublanes layout and contract it against
+    its two monomial-scaled copies. Monomial order matches
+    se3._monomial_grams: [1, yx, yy, yz, yx2, yxyy, yxyz, yy2, yyyz, yz2],
+    walked as pairs (2g, 2g+1)."""
+    g = pl.program_id(0)  # SLOW axis: the (2, D, D) accumulator block
+    i = pl.program_id(1)  # stays VMEM-resident across the vertex sweep
+
+    @pl.when((i == 0) & (g == 0))
+    def _():
+        rhs_ref[:] = jnp.zeros_like(rhs_ref)
+
+    @pl.when(i == 0)
+    def _():
+        a_ref[:] = jnp.zeros_like(a_ref)
+
+    TQ = idxT_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (D, TQ), 0)
+    ws = jnp.zeros((D, TQ), jnp.float32)
+    for r in range(k):
+        hit = rows == idxT_ref[r:r + 1, :]
+        ws = ws + jnp.where(hit, wsT_ref[r:r + 1, :], 0.0)
+
+    yx = yT_ref[0:1, :]
+    yy = yT_ref[1:2, :]
+    yz = yT_ref[2:3, :]
+    one = jnp.ones_like(yx)
+    monos = [one, yx, yy, yz, yx * yx, yx * yy, yx * yz, yy * yy,
+             yy * yz, yz * yz]
+
+    f32 = jnp.float32
+    dn_t = (((1,), (1,)), ((), ()))
+    a_hi = ws.astype(jnp.bfloat16)
+    a_lo = (ws - a_hi.astype(f32)).astype(jnp.bfloat16)
+    for j in range(2):
+        m = g * 2 + j
+        sel = jnp.zeros_like(one)
+        for mm in range(10):  # static select of this step's monomial
+            sel = jnp.where(m == mm, monos[mm], sel)
+        wm = ws * sel
+        b_hi = wm.astype(jnp.bfloat16)
+        b_lo = (wm - b_hi.astype(f32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(a_hi, b_hi, dn_t,
+                                  preferred_element_type=f32)
+        acc = acc + jax.lax.dot_general(a_hi, b_lo, dn_t,
+                                        preferred_element_type=f32)
+        acc = acc + jax.lax.dot_general(a_lo, b_hi, dn_t,
+                                        preferred_element_type=f32)
+        a_ref[j] = a_ref[j] + acc
+
+    @pl.when(g == 0)
+    def _():
+        # rhs sums once per vertex tile: Ws @ [sqrt(s2) delta | sqrt(s2)
+        # y x delta]^T (the sqrt(s2) on the d side completes the s2 fold)
+        d_hi = dT_ref[:].astype(jnp.bfloat16)
+        d_lo = (dT_ref[:] - d_hi.astype(f32)).astype(jnp.bfloat16)
+        r0 = jax.lax.dot_general(a_hi, d_hi, dn_t,
+                                 preferred_element_type=f32)
+        r0 = r0 + jax.lax.dot_general(a_hi, d_lo, dn_t,
+                                      preferred_element_type=f32)
+        r0 = r0 + jax.lax.dot_general(a_lo, d_hi, dn_t,
+                                      preferred_element_type=f32)
+        rhs_ref[:] = rhs_ref[:] + r0
+
+
+@functools.partial(jax.jit, static_argnames=("D", "tq", "interpret"))
+def monomial_grams_tpu(
+    data_idx: jnp.ndarray,  # (N, K) int32 neighbor node ids
+    data_w: jnp.ndarray,  # (N, K) f32 weights (invalid slots = 0)
+    s2: jnp.ndarray,  # (N,) f32 per-vertex robust weight
+    y: jnp.ndarray,  # (N, 3) f32 current warped positions
+    delta: jnp.ndarray,  # (N, 3) f32 data constants
+    D: int,
+    tq: int = 256,
+    interpret: bool = False,
+):
+    """(B (10, D, D), Bu (D, 3), Bw (D, 3)) — drop-in for
+    se3._monomial_grams, strips built in VMEM (the XLA formulation
+    materializes a (chunk, D) strip in HBM and re-reads it for every
+    monomial matmul). The sqrt(s2) trick folds the per-vertex robust
+    weight into ONE strip so B_m = (sqrt(s2) W)^T diag(m) (sqrt(s2) W)
+    and the rhs completes the fold on the delta side."""
+    N, K = data_idx.shape
+    Np = _round_up(max(N, tq), tq)
+    Dp = _round_up(D, 128)
+
+    idx = jnp.full((Np, K), Dp, jnp.int32).at[:N].set(data_idx)
+    w = jnp.zeros((Np, K), jnp.float32).at[:N].set(data_w)
+    rs2 = jnp.sqrt(jnp.maximum(jnp.pad(s2, (0, Np - N)), 0.0))
+    ws = w * rs2[:, None]
+    yp = jnp.zeros((Np, 8), jnp.float32).at[:N, :3].set(y)
+    dp = jnp.zeros((Np, 8), jnp.float32)
+    dp = dp.at[:N, :3].set(delta).at[:N, 3:6].set(jnp.cross(y, delta))
+    dp = dp * rs2[:, None]
+
+    grid = (_MONO_GROUPS, Np // tq)
+    B, rhs = pl.pallas_call(
+        functools.partial(_mono_gram_kernel, k=K, D=Dp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, tq), lambda g, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tq), lambda g, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tq), lambda g, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tq), lambda g, i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, Dp, Dp), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 8), lambda g, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((10, Dp, Dp), jnp.float32),
+                   jax.ShapeDtypeStruct((Dp, 8), jnp.float32)],
+        interpret=interpret,
+    )(idx.T, ws.T, yp.T, dp.T)
+    return B[:, :D, :D], rhs[:D, :3], rhs[:D, 3:6]
+
+
 def available() -> bool:
     """Pallas path is for real TPU execution; CPU tests keep the XLA
     formulation. Gated off by DYNFU_NO_PALLAS=1 (A/B benching) and inside

@@ -402,7 +402,14 @@ def solve(
         wf_cur = wf._replace(dqs=jnp.where(
             wf.mask[:, None], dq.dq_mul(upd, wf.dqs), wf.dqs))
         delta = live_v - y
-        B, Bu, Bw = _monomial_grams(data_idx, data_w, s2, y, delta, D)
+        from dynfu_tpu.solver import gram_pallas
+
+        if gram_pallas.available():
+            # fused VMEM assembly of all 10 monomial Grams + both rhs
+            B, Bu, Bw = gram_pallas.monomial_grams_tpu(
+                data_idx, data_w, s2, y, delta, D)
+        else:
+            B, Bu, Bw = _monomial_grams(data_idx, data_w, s2, y, delta, D)
         A_d, b_d = _assemble_data(B, Bu, Bw, wf.pos, D)
         A_r, b_r, _ = _assemble_reg(wf_cur, reg_idx, edge_mask, reg_w2, D,
                                     psi_reg=psi_reg)

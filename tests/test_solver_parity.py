@@ -290,3 +290,33 @@ def test_gram_pallas_matches_dense_assembly():
                                atol=2e-5 * scale, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b1),
                                atol=1e-6, rtol=2e-4)
+
+
+def test_monomial_grams_pallas_matches_xla():
+    """gram_pallas.monomial_grams_tpu (interpret mode) == the fori_loop
+    strip formulation in se3._monomial_grams (B part)."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.solver import gram_pallas, se3
+
+    rng = np.random.RandomState(23)
+    N, K, D = 700, 8, 24
+    idx = jnp.asarray(rng.randint(0, D, (N, K)), jnp.int32)
+    w = jnp.asarray(rng.rand(N, K).astype(np.float32))
+    s2 = jnp.asarray(rng.rand(N).astype(np.float32))
+    y = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+    delta = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+
+    B_ref, Bu_ref, Bw_ref = se3._monomial_grams(idx, w, s2, y, delta, D,
+                                                chunk=256)
+    B, Bu, Bw = gram_pallas.monomial_grams_tpu(idx, w, s2, y, delta, D,
+                                               tq=128, interpret=True)
+    # both are 3-pass bf16 (HIGH-class) contractions; the kernel folds
+    # sqrt(s2) into the strip where the XLA path scales one side, so the
+    # roundoff patterns differ at the ~1e-4 relative level
+    np.testing.assert_allclose(np.asarray(B), np.asarray(B_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Bu), np.asarray(Bu_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Bw), np.asarray(Bw_ref),
+                               rtol=1e-3, atol=1e-4)
