@@ -106,11 +106,17 @@ def sharded_engine_frame(
 
 
 def sharded_fusion_frame(mesh: Mesh, dp: DynFuParams, intr,
-                         config: tv.TsdfConfig):
+                         config: tv.TsdfConfig,
+                         solve_enabled: bool = True):
     """The persistent-canonical `_fusion_frame` (mode="fusion") over `mesh`:
     projective correspondence + GN solve + warped-back band integration +
     corner-convention MC + node insertion, volume blocked / vertices
-    row-sharded / nodes replicated."""
+    row-sharded / nodes replicated.
+
+    `solve_enabled=False` builds the warm-up variant (integrate without a
+    solve — DynFuParams.fusion_warmup_frames); a multi-chip driver that
+    honors warm-up builds both step programs and switches after
+    `fusion_warmup_frames` frames, like the single-chip engine does."""
     blocked, repl, rows, vol_s, wf_s = _shardings(mesh)
 
     def step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose):
@@ -118,6 +124,7 @@ def sharded_fusion_frame(mesh: Mesh, dp: DynFuParams, intr,
             return dyn._fusion_frame.__wrapped__(
                 vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
                 pose, dp=dp, intr=intr, config=config,
+                solve_enabled=solve_enabled,
             )
 
     solve_proto = (se3_solver.Se3Stats(0, 0, 0, 0) if dp.solver_rotations

@@ -34,6 +34,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _split_bf16(x):
+    """hi/lo bf16 split of an f32 operand (two 8-bit mantissa halves)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_hi, a_lo, b, dn):
+    """HIGH-class contraction: 3-pass bf16 (hi@hi + hi@lo + lo@hi) against
+    a pre-split left operand; the right operand is split here."""
+    f32 = jnp.float32
+    b_hi, b_lo = _split_bf16(b)
+    acc = jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+    acc = acc + jax.lax.dot_general(a_hi, b_lo, dn,
+                                    preferred_element_type=f32)
+    return acc + jax.lax.dot_general(a_lo, b_hi, dn,
+                                     preferred_element_type=f32)
+
+
 def _gram_kernel(idxT_ref, wsT_ref, wT_ref, dT_ref, a_ref, b_ref, *, k, D):
     """One TQ-vertex tile: accumulate A += Ws @ W^T and b += Ws @ delta,
     everything in the single nodes-on-sublanes (D, TQ) layout (the rhs
@@ -56,27 +75,10 @@ def _gram_kernel(idxT_ref, wsT_ref, wT_ref, dT_ref, a_ref, b_ref, *, k, D):
         ws = ws + jnp.where(hit, wsT_ref[r:r + 1, :], 0.0)
         w = w + jnp.where(hit, wT_ref[r:r + 1, :], 0.0)
 
-    f32 = jnp.float32
     dn_t = (((1,), (1,)), ((), ()))  # contract the TQ axis of both
-    a_hi = ws.astype(jnp.bfloat16)
-    a_lo = (ws - a_hi.astype(f32)).astype(jnp.bfloat16)
-    b_hi = w.astype(jnp.bfloat16)
-    b_lo = (w - b_hi.astype(f32)).astype(jnp.bfloat16)
-    acc = jax.lax.dot_general(a_hi, b_hi, dn_t, preferred_element_type=f32)
-    acc = acc + jax.lax.dot_general(a_hi, b_lo, dn_t,
-                                    preferred_element_type=f32)
-    acc = acc + jax.lax.dot_general(a_lo, b_hi, dn_t,
-                                    preferred_element_type=f32)
-    a_ref[:] = a_ref[:] + acc
-
-    d_hi = dT_ref[:].astype(jnp.bfloat16)
-    d_lo = (dT_ref[:] - d_hi.astype(f32)).astype(jnp.bfloat16)
-    bacc = jax.lax.dot_general(a_hi, d_hi, dn_t, preferred_element_type=f32)
-    bacc = bacc + jax.lax.dot_general(a_hi, d_lo, dn_t,
-                                      preferred_element_type=f32)
-    bacc = bacc + jax.lax.dot_general(a_lo, d_hi, dn_t,
-                                      preferred_element_type=f32)
-    b_ref[:] = b_ref[:] + bacc
+    a_hi, a_lo = _split_bf16(ws)
+    a_ref[:] = a_ref[:] + _dot3(a_hi, a_lo, w, dn_t)
+    b_ref[:] = b_ref[:] + _dot3(a_hi, a_lo, dT_ref[:], dn_t)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "tq", "interpret"))
@@ -162,39 +164,20 @@ def _mono_gram_kernel(idxT_ref, wsT_ref, yT_ref, dT_ref, a_ref, rhs_ref,
     monos = [one, yx, yy, yz, yx * yx, yx * yy, yx * yz, yy * yy,
              yy * yz, yz * yz]
 
-    f32 = jnp.float32
     dn_t = (((1,), (1,)), ((), ()))
-    a_hi = ws.astype(jnp.bfloat16)
-    a_lo = (ws - a_hi.astype(f32)).astype(jnp.bfloat16)
+    a_hi, a_lo = _split_bf16(ws)
     for j in range(2):
         m = g * 2 + j
         sel = jnp.zeros_like(one)
         for mm in range(10):  # static select of this step's monomial
             sel = jnp.where(m == mm, monos[mm], sel)
-        wm = ws * sel
-        b_hi = wm.astype(jnp.bfloat16)
-        b_lo = (wm - b_hi.astype(f32)).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(a_hi, b_hi, dn_t,
-                                  preferred_element_type=f32)
-        acc = acc + jax.lax.dot_general(a_hi, b_lo, dn_t,
-                                        preferred_element_type=f32)
-        acc = acc + jax.lax.dot_general(a_lo, b_hi, dn_t,
-                                        preferred_element_type=f32)
-        a_ref[j] = a_ref[j] + acc
+        a_ref[j] = a_ref[j] + _dot3(a_hi, a_lo, ws * sel, dn_t)
 
     @pl.when(g == 0)
     def _():
         # rhs sums once per vertex tile: Ws @ [sqrt(s2) delta | sqrt(s2)
         # y x delta]^T (the sqrt(s2) on the d side completes the s2 fold)
-        d_hi = dT_ref[:].astype(jnp.bfloat16)
-        d_lo = (dT_ref[:] - d_hi.astype(f32)).astype(jnp.bfloat16)
-        r0 = jax.lax.dot_general(a_hi, d_hi, dn_t,
-                                 preferred_element_type=f32)
-        r0 = r0 + jax.lax.dot_general(a_hi, d_lo, dn_t,
-                                      preferred_element_type=f32)
-        r0 = r0 + jax.lax.dot_general(a_lo, d_hi, dn_t,
-                                      preferred_element_type=f32)
-        rhs_ref[:] = rhs_ref[:] + r0
+        rhs_ref[:] = rhs_ref[:] + _dot3(a_hi, a_lo, dT_ref[:], dn_t)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "tq", "interpret"))
