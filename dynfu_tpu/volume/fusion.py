@@ -194,6 +194,13 @@ def integrate_warped(
     tsdf_prev = F16[vx, vy, vz].astype(jnp.float32)
     w_prev = Wu8[vx, vy, vz].astype(jnp.float32)
     tsdf_in = jnp.minimum(1.0, sdf * trunc_inv)
+    if normals is not None and min_cos > 0.0:
+        # confidence-weighted pull: grazing observations (small ray-normal
+        # cosine — motion edges, silhouette rims) contribute their value
+        # at reduced strength. Weights stay the reference's uint8 counter,
+        # so the confidence scales the blended VALUE, not the bookkeeping.
+        conf = jnp.clip(jnp.nan_to_num(cos_view, nan=0.0), 0.0, 1.0)
+        tsdf_in = tsdf_prev * (1.0 - conf) + tsdf_in * conf
     tsdf_new = (tsdf_prev * w_prev + tsdf_in) / (w_prev + 1.0)
     w_new = jnp.minimum(w_prev + 1.0, float(config.max_weight))
 
