@@ -120,3 +120,48 @@ def test_stage_benchmark_smoke():
     assert expected <= set(r["stages_ms"])
     assert all(v >= 0 for v in r["stages_ms"].values())
     assert r["n_mesh_verts"] > 0
+
+
+def test_checkpoint_fusion_se3_mode_resumes(tmp_path):
+    """Fusion mode + SE(3) rotations: a checkpointed engine resumes with a
+    bit-identical persistent canonical volume and node state, and the
+    continuation matches an uninterrupted run frame for frame."""
+    import dataclasses
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import (CENTER, RADIUS, small_dynfu_params,
+                               sphere_depth)
+
+    from dynfu_tpu.engine.dynfusion import DynFusion
+    from dynfu_tpu.utils import checkpoint
+
+    params = dataclasses.replace(small_dynfu_params(),
+                                 solver_rotations=True, se3_relinearize=2)
+    seq = [sphere_depth((CENTER[0] + 0.004 * i, CENTER[1], CENTER[2]),
+                        RADIUS) for i in range(6)]
+
+    ref = DynFusion(params, mode="fusion")
+    for f in seq:
+        ref(f)
+
+    a = DynFusion(params, mode="fusion")
+    for f in seq[:3]:
+        a(f)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_checkpoint(a, path)
+
+    b = DynFusion(params, mode="fusion")
+    checkpoint.load_checkpoint(b, path)
+    np.testing.assert_array_equal(np.asarray(b.vol.tsdf, np.float32),
+                                  np.asarray(a.vol.tsdf, np.float32))
+    np.testing.assert_array_equal(np.asarray(b.warpfield.dqs),
+                                  np.asarray(a.warpfield.dqs))
+    for f in seq[3:]:
+        b(f)
+
+    np.testing.assert_array_equal(
+        np.asarray(b.vol.tsdf, np.float32),
+        np.asarray(ref.vol.tsdf, np.float32))
+    np.testing.assert_allclose(np.asarray(b.warpfield.dqs),
+                               np.asarray(ref.warpfield.dqs), atol=1e-7)
