@@ -486,12 +486,19 @@ class DynFusion(KinFu):
             if self.prev_pyr is not None:
                 from dynfu_tpu.rigid import icp as _icp
 
+                import numpy as np
+
                 (R, t), ok = _icp.estimate_transform(
                     curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
                     dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
                 )
-                if bool(ok):
-                    self.poses.append(se3.compose(self.poses[-1], (R, t)))
+                # one packed readback (R, t, ok) — poses are host numpy
+                packed = np.asarray(jnp.concatenate(
+                    [R.reshape(-1), t, ok.astype(jnp.float32)[None]]))
+                if packed[12] != 0.0:
+                    Rp, tp = self.poses[-1]
+                    Rn, tn = packed[:9].reshape(3, 3), packed[9:12]
+                    self.poses.append((Rp @ Rn, Rp @ tn + tp))
                 else:
                     self.poses.append(self.poses[-1])
             else:

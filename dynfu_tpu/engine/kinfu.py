@@ -70,11 +70,18 @@ class KinFu:
         return self.poses[time]
 
     def reset(self):
-        """Pose -> identity, volume cleared (kinfu.cpp:121-130)."""
+        """Pose -> identity, volume cleared (kinfu.cpp:121-130).
+
+        Poses live as HOST numpy pairs: every per-frame dispatch decision
+        (_aligned, _rotation_angle) and the pose composition read them, and
+        on this host each device readback costs a ~28 ms tunnel round-trip
+        — the ICP result is pulled ONCE per frame (packed with its ok flag)
+        and all pose math after that is free host numpy."""
         if getattr(self, "frame_counter", 0):
             print("Reset")
         self.frame_counter = 0
-        self.poses: List[Tuple[jnp.ndarray, jnp.ndarray]] = [se3.identity()]
+        self.poses: List[Tuple[np.ndarray, np.ndarray]] = [
+            (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
         self.vol = tv.create(self.tsdf_config, self.volume_pose)
         self.prev_pyr = None
 
@@ -137,7 +144,21 @@ class KinFu:
         if self._aligned(pose):
             fn = tv.raycast_separable
         elif p.raycast_mode == "auto" and angle < self.MAX_HOMOGRAPHY_TILT:
-            fn = tv.raycast_rotated
+            # virtual-image margin sized to the tilt, in coarse buckets so
+            # each bucket compiles once: the virtual frustum must cover the
+            # real one rotated by `angle`, but a slowly-rotating camera
+            # (the common case) only needs a few percent of margin — the
+            # blanket 1.6x pays 2.6x the raycast pixels (60 vs 31 ms at
+            # 512-cube for a 0.006 rad pose).
+            if angle < 0.05:
+                margin = 1.15
+            elif angle < 0.2:
+                margin = 1.35
+            else:
+                margin = 1.6
+            return tv.raycast_rotated(self.vol, pose, p.intr,
+                                      (p.rows, p.cols), self.tsdf_config,
+                                      fov_margin=margin)
         elif angle < self.MAX_SWEEP_TILT:
             fn = tv.raycast
         else:
@@ -155,28 +176,36 @@ class KinFu:
             self.frame_counter += 1
             return False
 
-        ok = False
+        def _pull(res):
+            # ONE packed host readback for (R, t, ok) — see reset()
+            (R, t), ok = res
+            return np.asarray(jnp.concatenate(
+                [R.reshape(-1), t, ok.astype(jnp.float32)[None]]))
+
+        packed = None
         if p.icp_assoc == "stencil":
-            (R, t), ok = icp.estimate_transform_stencil(
+            packed = _pull(icp.estimate_transform_stencil(
                 curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
                 dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
                 radii=p.icp_stencil_radii,
-            )
-        if not bool(ok):
+            ))
+        if packed is None or packed[12] == 0.0:
             # gather path: either configured, or the rescue tier when the
             # stencil windows dropped enough correspondences to trip the
             # degeneracy guard (tiny images / large motions) — pay the
             # exact reference semantics only on the rare failure frame
-            (R, t), ok = icp.estimate_transform(
+            packed = _pull(icp.estimate_transform(
                 curr_pyr, self.prev_pyr, p.intr, iters=p.icp_iter_num,
                 dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
-            )
-        if not bool(ok):
+            ))
+        if packed[12] == 0.0:
             self.reset()
             return False
 
-        # pose = pose * affine (curr -> global), kinfu.cpp:194
-        self.poses.append(se3.compose(self.poses[-1], (R, t)))
+        # pose = pose * affine (curr -> global), kinfu.cpp:194 — host numpy
+        R, t = packed[:9].reshape(3, 3), packed[9:12]
+        Rp, tp = self.poses[-1]
+        self.poses.append((Rp @ R, Rp @ t + tp))
 
         # always clear + reintegrate (reference kinfu.cpp:201-207)
         self.vol = tv.clear(self.vol)

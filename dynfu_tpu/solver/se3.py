@@ -369,7 +369,7 @@ def solve(
     if vert_mask is None:
         vert_mask = jnp.ones((N,), bool)
 
-    data_idx, _, n_pos, n_dq0, n_w, n_valid = wfield.neighbor_features(
+    data_idx, n_sqd, n_pos, n_dq0, n_w, n_valid = wfield.neighbor_features(
         wf, canonical_v, knn_k)
     if incremental:
         n_dq0 = jnp.broadcast_to(dq.dq_identity(), n_dq0.shape)
@@ -388,11 +388,38 @@ def solve(
 
     s2 = tukey_biweights(y0, live_v, tukey_offset, psi_data)
     s2 = jnp.where(vert_mask & (wsum[:, 0] > 1e-12), s2, 0.0)
+    # UNSUPPORTED vertices (min_k dist/dg_w >= 1, warp_field.cpp:34-61) are
+    # node-INSERTION candidates, not data: their normalized blend weights
+    # still sum to 1 but every neighbor is beyond its support radius, so
+    # their residuals act through long levers and feed the omega blocks
+    # leverage noise. With a saturated node budget (e.g. sampling truncated
+    # by max_nodes) whole surface regions are unsupported and the rotation
+    # solve blew up from frame 1 at the 512-cube workload; gating them out
+    # keeps the data term inside the field's interpolation domain.
+    support = jnp.where(n_valid, jnp.sqrt(n_sqd) / jnp.maximum(n_w, 1e-12),
+                        jnp.inf)
+    s2 = jnp.where(jnp.min(support, axis=-1) < 1.0, s2, 0.0)
 
     reg_idx, _ = wfield.find_neighbors(wf, wf.pos, knn_k)
     edge_mask = (wf.mask[:, None] & wf.mask[reg_idx]).astype(jnp.float32)
     D_active = jnp.maximum(wf.count.astype(jnp.float32), 1.0)
     reg_w2 = lambda_reg / (D_active * knn_k)
+
+    # Assembly frame: center y and the node positions on the active-node
+    # centroid. The monomial factorization builds each A/b block from
+    # terms ~|y|^2 that cancel down to lever scale (|y - p_k| ~ dg_w);
+    # in absolute volume coordinates (~3 m) that cancellation ratio
+    # reaches 1e2-1e3, and the TPU's bf16-3-pass contraction noise
+    # (~1.5e-5 relative of the LARGE terms) lands at the signal scale —
+    # the solve produced tens-of-degrees garbage rotations where the
+    # same math in CPU f32 was stable. The assembled system is exactly
+    # shift-invariant (J depends on y and p only through -[y]x + [p]x),
+    # so centering changes nothing but the roundoff; xi is solved in the
+    # centered frame and composed with the TRUE node positions.
+    m_act = wf.mask.astype(jnp.float32)
+    center = (jnp.sum(wf.pos * m_act[:, None], axis=0)
+              / jnp.maximum(jnp.sum(m_act), 1.0))
+    pos_c = jnp.where(wf.mask[:, None], wf.pos - center, 0.0)
 
     initial_cost = jnp.sum(s2 * jnp.sum((live_v - y0) ** 2, -1))
 
@@ -402,15 +429,16 @@ def solve(
         wf_cur = wf._replace(dqs=jnp.where(
             wf.mask[:, None], dq.dq_mul(upd, wf.dqs), wf.dqs))
         delta = live_v - y
+        y_c = y - center  # centered assembly frame (see above)
         from dynfu_tpu.solver import gram_pallas
 
         if gram_pallas.available():
             # fused VMEM assembly of all 10 monomial Grams + both rhs
             B, Bu, Bw = gram_pallas.monomial_grams_tpu(
-                data_idx, data_w, s2, y, delta, D)
+                data_idx, data_w, s2, y_c, delta, D)
         else:
-            B, Bu, Bw = _monomial_grams(data_idx, data_w, s2, y, delta, D)
-        A_d, b_d = _assemble_data(B, Bu, Bw, wf.pos, D)
+            B, Bu, Bw = _monomial_grams(data_idx, data_w, s2, y_c, delta, D)
+        A_d, b_d = _assemble_data(B, Bu, Bw, pos_c, D)
         A_r, b_r, _ = _assemble_reg(wf_cur, reg_idx, edge_mask, reg_w2, D,
                                     psi_reg=psi_reg)
         A = (A_d + A_r).reshape(D * 6, D * 6)

@@ -89,9 +89,15 @@ def _caps_for(volume_dims: int) -> dict:
     if volume_dims >= 384:
         # 512-cube bench scene occupies ~37k cells / ~225k soup verts;
         # 1<<16 voxel cap leaves 1.8x headroom and halves MC pass-2 cost
-        # (48.7 -> 33 ms measured; mc_dropped==0 is asserted below)
+        # (48.7 -> 33 ms measured; mc_dropped==0 is asserted below).
+        # node_sample_step: the reference's 128 over ~225k verts wants
+        # 1758 nodes — more than max_nodes, and the x-major truncation
+        # leaves the high-x surface without nearby nodes (the SE(3)
+        # solve diverged on the unsupported region's levers). 256 keeps
+        # the full surface covered inside the node budget.
         return dict(max_vertices=1 << 18, max_mc_voxels=1 << 16,
-                    max_nodes=1024, max_new_nodes=512)
+                    max_nodes=1024, max_new_nodes=512,
+                    node_sample_step=256)
     if volume_dims >= 192:
         return dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,
                     max_nodes=512, max_new_nodes=256)

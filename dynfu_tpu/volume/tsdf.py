@@ -817,14 +817,21 @@ def raycast_separable(
         Gv = (e1v - e0v) / vsy
         return Bu, Bv, Gu, Gv, valid_u, valid_v
 
+    # HIGH (3-pass bf16) for the slab resampling: TSDF values are in
+    # [-1, 1] and bilinear weights in [0, 1], so the ~2^-16 relative
+    # contraction error moves the detected crossing by < 0.01 voxel —
+    # far below the slab-interpolation model error — at HALF the MXU
+    # passes of HIGHEST (measured 31.7 ms at 512-cube, matmul-bound).
+    _mmr = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
+
     def slab_sample(g, slab):
         """f, gx, gy, valid for slab g over the full image — 4 matmuls."""
         Bu, Bv, Gu, Gv, valid_u, valid_v = factor_matrices(g)
-        T1 = _mm(slab, Bu.T)  # (Y, X)@(X, W) -> (Y, W)
-        T1g = _mm(slab, Gu.T)  # (Y, W)
-        f = _mm(Bv, T1)  # (H, Y)@(Y, W) -> (H, W)
-        gx = _mm(Bv, T1g)
-        gy = _mm(Gv, T1)
+        T1 = _mmr(slab, Bu.T)  # (Y, X)@(X, W) -> (Y, W)
+        T1g = _mmr(slab, Gu.T)  # (Y, W)
+        f = _mmr(Bv, T1)  # (H, Y)@(Y, W) -> (H, W)
+        gx = _mmr(Bv, T1g)
+        gy = _mmr(Gv, T1)
         valid = valid_v[:, None] & valid_u[None, :]
         return jnp.where(valid, f, 1.0), gx, gy, valid
 
