@@ -21,7 +21,7 @@ import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from dynfu_tpu.ops import warp_pallas
 from dynfu_tpu.warp import field as wfield
@@ -42,7 +42,7 @@ def _warp_sharded(mesh, points, normals, pos, dqs, w, mask, *, blend, k,
         local, mesh=mesh,
         in_specs=(rows, rows, repl, repl, repl, repl),
         out_specs=(rows, rows),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(points, normals, pos, dqs, w, mask)
 

@@ -17,8 +17,9 @@ Differences from the reference, by design:
 * failure flow: degenerate ICP resets the reconstruction (same), but the
   whole pipeline is functional — `reset()` just reinstalls the initial state
   pytree.
-* pose history is a Python list of (R, t) jnp pairs (reference keeps
-  std::vector<Affine3f>, kinfu.cpp:121-127).
+* pose history is a Python list of (R, t) HOST numpy pairs (reference keeps
+  std::vector<Affine3f>, kinfu.cpp:121-127) — see reset() for why: pose math
+  stays in host f32 and per-frame dispatch checks avoid device readbacks.
 """
 
 from __future__ import annotations
@@ -112,9 +113,47 @@ class KinFu:
     # real frustum with the default virtual-image margin
     MAX_HOMOGRAPHY_TILT = 0.6
 
+    # virtual-image margins the rotated-raycast path may compile (coarse
+    # buckets so each compiles once); beyond the largest, dispatch falls
+    # through to the sweep/march formulations
+    RAYCAST_MARGIN_BUCKETS = (1.15, 1.35, 1.6, 2.0, 2.5)
+
     def _rotation_angle(self, pose) -> float:
         R = np.asarray(pose[0])
         return float(np.arccos(np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)))
+
+    def _raycast_margin(self, pose) -> Optional[float]:
+        """Smallest margin bucket whose virtual frustum covers the real one
+        under this pose's rotation, or None if none does.
+
+        raycast_rotated marches an axis-aligned virtual camera (same focal
+        length, margin x the pixel extent) and maps each real pixel into it
+        by the homography u' = Kv R_rel^T K^-1 u with R_rel = R_cam^T (the
+        volume pose rotation is identity by construction). A real corner
+        that lands outside the virtual image is NaN-invalidated — a silent
+        ICP-correspondence loss — so the margin is derived from the actual
+        corner images, not from fixed tilt thresholds (which under-covered:
+        at 480 rows/fy=525 a 1.35 margin covers only ~0.124 rad of pitch)."""
+        p = self.params
+        W, H = p.cols, p.rows
+        R_cam = np.asarray(pose[0], np.float64)
+        corners = np.array([[0.0, 0.0], [W - 1.0, 0.0],
+                            [0.0, H - 1.0], [W - 1.0, H - 1.0]])
+        d = np.stack([(corners[:, 0] - p.intr.cx) / p.intr.fx,
+                      (corners[:, 1] - p.intr.cy) / p.intr.fy,
+                      np.ones(4)], axis=1)
+        dv = d @ R_cam.T  # R_rel^T d per corner
+        if np.any(dv[:, 2] < 0.05):  # corner ray ~parallel to virtual plane
+            return None
+        # homography maps the image rectangle to a convex quad, so corner
+        # extrema bound every interior pixel
+        need_x = np.max(np.abs(p.intr.fx * dv[:, 0] / dv[:, 2]))
+        need_y = np.max(np.abs(p.intr.fy * dv[:, 1] / dv[:, 2]))
+        required = max(need_x / (W / 2.0), need_y / (H / 2.0)) * 1.02 + 0.01
+        for m in self.RAYCAST_MARGIN_BUCKETS:
+            if m >= required:
+                return m
+        return None
 
     def _aligned(self, pose) -> bool:
         """True when the camera rotation (and the volume pose rotation) is
@@ -141,21 +180,15 @@ class KinFu:
     def _raycast(self, pose):
         p = self.params
         angle = self._rotation_angle(pose)
+        margin = None if p.raycast_mode != "auto" else self._raycast_margin(pose)
         if self._aligned(pose):
             fn = tv.raycast_separable
-        elif p.raycast_mode == "auto" and angle < self.MAX_HOMOGRAPHY_TILT:
-            # virtual-image margin sized to the tilt, in coarse buckets so
-            # each bucket compiles once: the virtual frustum must cover the
-            # real one rotated by `angle`, but a slowly-rotating camera
-            # (the common case) only needs a few percent of margin — the
-            # blanket 1.6x pays 2.6x the raycast pixels (60 vs 31 ms at
-            # 512-cube for a 0.006 rad pose).
-            if angle < 0.05:
-                margin = 1.15
-            elif angle < 0.2:
-                margin = 1.35
-            else:
-                margin = 1.6
+        elif margin is not None:
+            # virtual-image margin sized to the pose's actual corner
+            # coverage, in coarse buckets so each bucket compiles once: a
+            # slowly-rotating camera (the common case) only needs a few
+            # percent of margin — the blanket 1.6x pays 2.6x the raycast
+            # pixels (60 vs 31 ms at 512-cube for a 0.006 rad pose).
             return tv.raycast_rotated(self.vol, pose, p.intr,
                                       (p.rows, p.cols), self.tsdf_config,
                                       fov_margin=margin)

@@ -178,6 +178,40 @@ class DynFuParams:
     def default_params() -> "DynFuParams":
         return DynFuParams()
 
+    @staticmethod
+    def caps_for_volume(volume_dims: int) -> dict:
+        """Documented capacity preset for a given cubic volume resolution.
+
+        JAX programs have static shapes, so every buffer capacity is a real
+        workload parameter: the isosurface vertex count grows ~quadratically
+        with volume resolution, and oversizing is paid for in every
+        downstream op. These presets size the buffers to the 640x480
+        Kinect-class workloads this engine targets.
+
+        DELIBERATE parity deviation at >=384: ``node_sample_step=256``
+        (the reference uses 128, dyn_fusion.cpp:151). At 512-cube the
+        surface emits ~225k soup vertices; stride 128 wants ~1758 nodes —
+        more than the 1024-node budget — and truncating the x-major vertex
+        order leaves the high-x surface without nearby nodes, which the
+        SE(3) solve turns into unsupported long levers and diverges.
+        Stride 256 keeps the whole surface covered inside the node budget.
+        Pass ``node_sample_step=128`` explicitly to reproduce the
+        reference's sampling at your own capacity risk.
+        """
+        if volume_dims >= 384:
+            # 512-cube bench scene occupies ~37k cells / ~225k soup verts;
+            # 1<<16 voxel cap leaves 1.8x headroom and halves MC pass-2
+            # cost (48.7 -> 33 ms measured; mc_dropped==0 is asserted by
+            # the benchmarks).
+            return dict(max_vertices=1 << 18, max_mc_voxels=1 << 16,
+                        max_nodes=1024, max_new_nodes=512,
+                        node_sample_step=256)
+        if volume_dims >= 192:
+            return dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,
+                        max_nodes=512, max_new_nodes=256)
+        return dict(max_vertices=1 << 15, max_mc_voxels=1 << 13,
+                    max_nodes=256, max_new_nodes=128)
+
     @property
     def w_reg(self) -> float:
         raise AttributeError("w_reg depends on the active node count; use solver.gn.w_reg(D, knn, lambda_reg)")

@@ -84,25 +84,10 @@ def run_rigid_benchmark(
 
 
 def _caps_for(volume_dims: int) -> dict:
-    """Buffer capacities sized to the isosurface vertex count, which grows
-    ~quadratically with volume resolution."""
-    if volume_dims >= 384:
-        # 512-cube bench scene occupies ~37k cells / ~225k soup verts;
-        # 1<<16 voxel cap leaves 1.8x headroom and halves MC pass-2 cost
-        # (48.7 -> 33 ms measured; mc_dropped==0 is asserted below).
-        # node_sample_step: the reference's 128 over ~225k verts wants
-        # 1758 nodes — more than max_nodes, and the x-major truncation
-        # leaves the high-x surface without nearby nodes (the SE(3)
-        # solve diverged on the unsupported region's levers). 256 keeps
-        # the full surface covered inside the node budget.
-        return dict(max_vertices=1 << 18, max_mc_voxels=1 << 16,
-                    max_nodes=1024, max_new_nodes=512,
-                    node_sample_step=256)
-    if volume_dims >= 192:
-        return dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,
-                    max_nodes=512, max_new_nodes=256)
-    return dict(max_vertices=1 << 15, max_mc_voxels=1 << 13,
-                max_nodes=256, max_new_nodes=128)
+    """Buffer capacities sized to the isosurface vertex count — the
+    documented preset lives at DynFuParams.caps_for_volume (including the
+    node_sample_step=256 deviation rationale at >=384)."""
+    return DynFuParams.caps_for_volume(volume_dims)
 
 
 def run_benchmark(
@@ -113,7 +98,11 @@ def run_benchmark(
     cols: int = 640,
     max_nodes: int = 0,
     max_vertices: int = 0,
+    overrides: dict | None = None,
+    check_counters: bool = True,
 ) -> dict:
+    import dataclasses
+
     intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
     caps = _caps_for(volume_dims)
     if max_nodes:
@@ -127,6 +116,14 @@ def run_benchmark(
         ),
         **caps,
     )
+    if overrides:
+        solver_kw = {k: v for k, v in overrides.items()
+                     if k in ("num_iter", "nonlinear_iter", "linear_iter",
+                              "early_out")}
+        param_kw = {k: v for k, v in overrides.items() if k not in solver_kw}
+        if solver_kw:
+            param_kw["solver"] = dataclasses.replace(params.solver, **solver_kw)
+        params = dataclasses.replace(params, **param_kw)
     engine = DynFusion(params)
     cx, cy = cols / 2 - 0.5, rows / 2 - 0.5
 
@@ -183,12 +180,13 @@ def run_benchmark(
     fs = engine.last_frame_stats
     mc_dropped = int(fs.mc_dropped)
     corr_dropped = int(fs.corr_dropped)
-    assert mc_dropped == 0, (
-        f"marching cubes dropped {mc_dropped} occupied cells — raise "
-        "max_mc_voxels or the per-column budget for this workload")
-    assert corr_dropped == 0, (
-        f"{corr_dropped} correspondences failed the window-exactness "
-        "certificate — widen the correspondence window for this workload")
+    if check_counters:
+        assert mc_dropped == 0, (
+            f"marching cubes dropped {mc_dropped} occupied cells — raise "
+            "max_mc_voxels or the per-column budget for this workload")
+        assert corr_dropped == 0, (
+            f"{corr_dropped} correspondences failed the window-exactness "
+            "certificate — widen the correspondence window for this workload")
 
     return {
         "metric": f"nonrigid_fusion_fps_{volume_dims}cube",

@@ -82,8 +82,11 @@ def load_checkpoint(engine: "DynFusion", path: str) -> "DynFusion":
         pose_r=jnp.asarray(z["pose_r"]),
         pose_t=jnp.asarray(z["pose_t"]),
     )
+    # Poses are HOST numpy pairs (kinfu reset invariant): pose composition
+    # must run in host f32, not on-device bf16 matmul, and the per-frame
+    # dispatch checks must not pay a device readback.
     engine.poses = [
-        (jnp.asarray(r), jnp.asarray(t))
+        (np.asarray(r, np.float32), np.asarray(t, np.float32))
         for r, t in zip(z["poses_r"], z["poses_t"])
     ]
     engine.frame_counter = int(meta["frame_counter"])
