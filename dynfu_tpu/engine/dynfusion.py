@@ -100,7 +100,7 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
 
 def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
                     live_mask, parity: bool, rescue: int = 0,
-                    escalate: int = 0):
+                    escalate: int = 0, window_blocks: int = 3):
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
 
@@ -117,16 +117,21 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
     FrameStats.corr_dropped) — the robust data term loses those samples
     rather than gaining possibly-wrong pairs. In parity mode normals are
     the placeholder vertex copy, so only positions are fetched."""
+    # NB: the points MUST be re-sorted each frame (presorted=False): the
+    # warp's differential displacement (shear across the surface) reorders
+    # x beyond the window margins at 512-cube scale — measured 102k/225k
+    # certificate failures when the frame-0 MC order was trusted. The sort
+    # itself is ~1-2 ms at 262k; not the stage's cost.
     if parity:
         out, exact = knn.nn1_gather_xwindow(
             live_verts, warped_verts, None, warped_mask, live_mask,
-            rescue=rescue, escalate=escalate,
+            rescue=rescue, escalate=escalate, window_blocks=window_blocks,
         )
         return out, out, live_mask & exact
     vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
     out, exact = knn.nn1_gather_xwindow(
         live_verts, warped_verts, vals, warped_mask, live_mask,
-        rescue=rescue, escalate=escalate,
+        rescue=rescue, escalate=escalate, window_blocks=window_blocks,
     )
     return out[:, :3], out[:, 3:], live_mask & exact
 
@@ -175,6 +180,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     corr_v, corr_n, corr_m = _correspondence(
         wv, wn, canonical_m, live_v, live_m, strict_parity,
         rescue=dp.corr_rescue, escalate=dp.corr_escalate,
+        window_blocks=dp.corr_window_blocks,
     )
 
     # full reference schedule (dyn_fusion.cpp:183-189): numIter=24 outer /

@@ -131,6 +131,10 @@ class DynFuParams:
     # up to this many failures are re-swept with a 4x window (moving-edge
     # queries whose true NN sits a few cm away — farther than the base
     # window's x-margin — certify there at ~1/10 the base sweep's cost)
+    corr_window_blocks: int = 3  # base-sweep window width in 4096-point
+    # blocks. The sweep is VPU-bound and costs ~Q*W, so narrower windows
+    # are faster; queries whose certificate fails in the narrow window
+    # (pole-cap x-slabs) escalate. Tuned against the 512-cube bench.
     corr_rescue: int = 4096  # exact brute-force third-tier capacity for
     # queries still failing after escalation (dense x-slab geometries,
     # e.g. sphere pole caps, defeat any single x-window); rescued queries
@@ -206,11 +210,19 @@ class DynFuParams:
             return dict(max_vertices=1 << 18, max_mc_voxels=1 << 16,
                         max_nodes=1024, max_new_nodes=512,
                         node_sample_step=256)
+        # correspondence failure-tier capacities also scale down with the
+        # surface vertex count: the tiers run at full static capacity every
+        # frame whether or not any query failed (escalate alone is ~2 ms at
+        # 128-cube with the 512-cube default of 16384), and smaller volumes
+        # have proportionally fewer certificate failures. corr_dropped==0
+        # (asserted by the benchmarks) is the undersizing signal.
         if volume_dims >= 192:
             return dict(max_vertices=1 << 16, max_mc_voxels=1 << 14,
-                        max_nodes=512, max_new_nodes=256)
+                        max_nodes=512, max_new_nodes=256,
+                        corr_escalate=8192, corr_rescue=2048)
         return dict(max_vertices=1 << 15, max_mc_voxels=1 << 13,
-                    max_nodes=256, max_new_nodes=128)
+                    max_nodes=256, max_new_nodes=128,
+                    corr_escalate=4096, corr_rescue=1024)
 
     @property
     def w_reg(self) -> float:

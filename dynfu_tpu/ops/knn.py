@@ -421,7 +421,8 @@ def _window_sweep(qs, ps, vs, lo_blk, pre, suf, block: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "block", "window_blocks", "rescue", "escalate", "escalate_factor"))
+    "block", "window_blocks", "rescue", "escalate", "escalate_factor",
+    "presorted"))
 def nn1_gather_xwindow(
     queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (e.g. marching-cubes
     #                         emission order); sortedness affects only how
@@ -435,6 +436,7 @@ def nn1_gather_xwindow(
     rescue: int = 0,
     escalate: int = 0,
     escalate_factor: int = 4,
+    presorted: bool = False,
 ):
     """Windowed 1-NN + fetch for near-coincident surfaces: (vals, exact).
 
@@ -499,20 +501,32 @@ def nn1_gather_xwindow(
     if query_mask is not None:
         qs0 = jnp.where(query_mask[:, None], qs0, BIG)
 
-    # sort points by x, carrying y/z (+ explicit value columns if any)
-    if values is None:
-        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2])
+    # sort points by x, carrying y/z (+ explicit value columns if any).
+    # `presorted=True` skips the sort (~9 ms at P=262k): the exactness
+    # certificate is ORDER-FREE (_window_bounds), so sortedness only
+    # affects how many certificates pass — callers whose point set is
+    # already nearly x-ordered (a marching-cubes soup is emitted x-major,
+    # and a smooth warp of one preserves near-order) lose nothing but a
+    # few extra escalate-tier queries. Tie semantics: ties resolve to the
+    # lowest index in ps order — with presorted that is the ORIGINAL point
+    # order, which matches nanoflann's lowest-original-index pick.
+    if presorted:
+        ps = pts
+        vs = ps if values is None else values
     else:
-        p_ops = (pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
-            values[:, f] for f in range(F)
-        )
-    p_sorted = jax.lax.sort(p_ops, num_keys=1)
-    ps = jnp.stack(p_sorted[:3], axis=1)  # (P, 3)
-    if values is None:
-        # fetched values are the (centered) sorted coordinates; un-center after
-        vs = ps
-    else:
-        vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
+        if values is None:
+            p_ops = (pts[:, 0], pts[:, 1], pts[:, 2])
+        else:
+            p_ops = (pts[:, 0], pts[:, 1], pts[:, 2]) + tuple(
+                values[:, f] for f in range(F)
+            )
+        p_sorted = jax.lax.sort(p_ops, num_keys=1)
+        ps = jnp.stack(p_sorted[:3], axis=1)  # (P, 3)
+        if values is None:
+            # fetched values are the (centered) sorted coords; un-center after
+            vs = ps
+        else:
+            vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
 
     from dynfu_tpu.ops import corr_pallas
 
@@ -536,15 +550,26 @@ def nn1_gather_xwindow(
         npb = psp.shape[0] // block
         nqb = qsp.shape[0] // block
 
-        # window starts: value-aligned via searchsorted on the sorted
-        # blocks' first x (per query block, on its valid-mean x)
+        # window starts: per query block, on its valid-mean x — via
+        # searchsorted on the sorted blocks' first x, or (presorted =
+        # near-ordered, block starts not guaranteed monotone) the
+        # order-free nearest-block-mean placement
         qx = qsp[:, 0].reshape(nqb, block)
         valid_q = qx < 1e37
         nq = jnp.maximum(jnp.sum(valid_q, axis=1).astype(jnp.float32), 1.0)
         qmid = jnp.sum(jnp.where(valid_q, qx, 0.0), axis=1) / nq
-        block_x0 = psp[::block, 0]
-        c = jnp.clip(jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1,
-                     0, npb - 1)
+        if presorted:
+            px = psp[:, 0].reshape(npb, block)
+            vp = px < 1e37
+            nv = jnp.maximum(jnp.sum(vp, axis=1).astype(jnp.float32), 1.0)
+            bmean = jnp.sum(jnp.where(vp, px, 0.0), axis=1) / nv
+            bmean = jnp.where(jnp.any(vp, axis=1), bmean, BIG)
+            c = jnp.argmin(jnp.abs(qmid[:, None] - bmean[None, :]),
+                           axis=1).astype(jnp.int32)
+        else:
+            block_x0 = psp[::block, 0]
+            c = jnp.clip(jnp.searchsorted(block_x0, qmid).astype(jnp.int32) - 1,
+                         0, npb - 1)
         lo_blk = jnp.clip(c - (wb - 1) // 2, 0, max(npb - wb, 0))
 
         pre, suf = _window_bounds(psp, block)

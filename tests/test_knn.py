@@ -469,3 +469,58 @@ def test_knn_pallas_fewer_valid_nodes_than_k():
     for r in range(3, k):
         assert not np.isin(np.asarray(idx_p[:, r]),
                            np.asarray(idx_p[:, :3])).any()
+
+
+def test_nn1_gather_xwindow_presorted_near_order():
+    """presorted=True skips the internal sort; on NEARLY x-ordered points
+    (marching-cubes emission order perturbed by a smooth warp) the
+    order-free certificate + tiers still deliver the exact NN everywhere,
+    with values fetched in the ORIGINAL point order."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(3)
+    # voxel-granular x-major order with intra-voxel disorder + smooth drift
+    base = np.sort(rng.rand(2048).astype(np.float32))
+    x = base + 0.01 * rng.randn(2048).astype(np.float32)
+    pts = np.stack([x, rng.rand(2048).astype(np.float32),
+                    rng.rand(2048).astype(np.float32)], 1)
+    vals = rng.rand(2048, 5).astype(np.float32)
+    pmask = np.ones(2048, bool)
+    pmask[::7] = False
+    queries = (pts + 0.003 * rng.randn(2048, 3).astype(np.float32))[
+        rng.permutation(2048)][:1500]
+
+    got, exact = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), jnp.asarray(vals),
+        jnp.asarray(pmask), block=256, escalate=1024, rescue=1024,
+        presorted=True)
+    got, exact = np.asarray(got), np.asarray(exact)
+    assert exact.all()
+    d = ((queries[:, None].astype(np.float64)
+          - pts[None].astype(np.float64)) ** 2).sum(-1)
+    d[:, ~pmask] = np.inf
+    np.testing.assert_allclose(got, vals[d.argmin(1)], rtol=0, atol=1e-6)
+
+
+def test_nn1_gather_xwindow_presorted_matches_sorted_path():
+    """On already-x-sorted points the presorted and sorting paths agree
+    exactly (coordinates fetch, no tiers needed)."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(11)
+    pts = rng.rand(1024, 3).astype(np.float32)
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    queries = pts + 0.002 * rng.randn(1024, 3).astype(np.float32)
+
+    a, ea = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), None, None, block=128,
+        escalate=512, rescue=512)
+    b, eb = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(pts), None, None, block=128,
+        escalate=512, rescue=512, presorted=True)
+    assert np.asarray(ea).all() and np.asarray(eb).all()
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
