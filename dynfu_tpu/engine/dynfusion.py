@@ -149,13 +149,17 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     One dispatch per frame; no intermediate host round-trips."""
     dists = imgproc.compute_dists(depth_mm, intr)
 
-    vol = tv.clear(vol)
-    integrate_fn = {
-        "separable": tv.integrate_separable,
-        "rotated": tv.integrate_rotated,
-        "gather": tv.integrate,
-    }[integrate_mode]
-    vol = integrate_fn(vol, dists, pose, intr, config)
+    # clear + re-integrate (dyn_fusion.cpp:107-116) — fused on the
+    # separable paths (fresh=True is bit-identical and skips the clear's
+    # full-volume write plus the previous-state reads)
+    if integrate_mode == "separable":
+        vol = tv.integrate_separable(vol, dists, pose, intr, config,
+                                     fresh=True)
+    elif integrate_mode == "rotated":
+        vol = tv.integrate_rotated(vol, dists, pose, intr, config,
+                                   fresh=True)
+    else:
+        vol = tv.integrate(tv.clear(vol), dists, pose, intr, config)
 
     mesh_verts, n_verts, mc_dropped = marching_cubes(
         vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,

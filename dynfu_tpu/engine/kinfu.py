@@ -161,17 +161,25 @@ class KinFu:
         Poses are tiny concrete arrays, so this host check is free."""
         return bool(np.allclose(np.asarray(pose[0]), np.eye(3), atol=1e-6))
 
-    def _integrate(self, dists, pose):
+    def _integrate(self, dists, pose, fresh: bool = False):
         """Fast-path dispatch: separable MXU (identity rotation) ->
-        homography-warped separable (moderate tilt) -> generic gather."""
+        homography-warped separable (moderate tilt) -> generic gather.
+
+        fresh=True fuses the clear into the integrate on the separable
+        paths (bit-identical; the rigid loop clears every frame,
+        kinfu.cpp:201-207)."""
         if self._aligned(pose):
-            fn = tv.integrate_separable
-        elif (self.params.raycast_mode == "auto"
-              and self._rotation_angle(pose) < self.MAX_HOMOGRAPHY_TILT):
-            fn = tv.integrate_rotated
-        else:
-            fn = tv.integrate
-        return fn(self.vol, dists, pose, self.params.intr, self.tsdf_config)
+            return tv.integrate_separable(self.vol, dists, pose,
+                                          self.params.intr, self.tsdf_config,
+                                          fresh=fresh)
+        if (self.params.raycast_mode == "auto"
+                and self._rotation_angle(pose) < self.MAX_HOMOGRAPHY_TILT):
+            return tv.integrate_rotated(self.vol, dists, pose,
+                                        self.params.intr, self.tsdf_config,
+                                        fresh=fresh)
+        vol = tv.clear(self.vol) if fresh else self.vol
+        return tv.integrate(vol, dists, pose, self.params.intr,
+                            self.tsdf_config)
 
     # beyond this tilt, per-pixel rays can leave the +z half-space and the
     # slab-sweep formulations cannot march them
@@ -240,9 +248,8 @@ class KinFu:
         Rp, tp = self.poses[-1]
         self.poses.append((Rp @ R, Rp @ t + tp))
 
-        # always clear + reintegrate (reference kinfu.cpp:201-207)
-        self.vol = tv.clear(self.vol)
-        self.vol = self._integrate(dists, self.poses[-1])
+        # always clear + reintegrate (reference kinfu.cpp:201-207) — fused
+        self.vol = self._integrate(dists, self.poses[-1], fresh=True)
 
         # raycast the fused model into the new reference pyramid
         pts, nrm = self._raycast(self.poses[-1])

@@ -207,7 +207,7 @@ class DynFuParams:
             # 1<<16 voxel cap leaves 1.8x headroom and halves MC pass-2
             # cost (48.7 -> 33 ms measured; mc_dropped==0 is asserted by
             # the benchmarks).
-            return dict(max_vertices=1 << 18, max_mc_voxels=1 << 16,
+            return dict(max_vertices=1 << 18, max_mc_voxels=49152,
                         max_nodes=1024, max_new_nodes=512,
                         node_sample_step=256)
         # correspondence failure-tier capacities also scale down with the

@@ -266,20 +266,38 @@ def marching_cubes(
             (rows == e)[..., None], vertlist[:, None, e, :], 0.0
         )
 
-    # scatter into the output stream at TRIANGLE granularity: 5 rows of 9
+    # emit into the output stream at TRIANGLE granularity: 5 rows of 9
     # floats per voxel instead of 15 rows of 3 (scatter cost scales with row
     # count: 23.8 -> 11.2 ms at 512-cube). num_verts is always a multiple
     # of 3, so tri offsets are exact; the 9-float rows reshape back to the
-    # identical vertex stream.
+    # identical vertex stream. On TPU the emission runs as the Pallas
+    # chunk-pack kernel (mesh/mc_pallas.py): the offsets are monotone, so
+    # each voxel chunk owns a contiguous output range — a one-hot MXU pack
+    # + one ordered DMA per chunk replaces the row-scatter (whose cost
+    # scales with row count at the chip's ~0.25 GB/s scatter rate).
+    from dynfu_tpu.mesh import mc_pallas
+
     max_tris = max_verts // 3
     tris = verts.reshape(verts.shape[0], 5, 9)
     tri_emit = emit[:, ::3]  # (M, 5): slot j emits iff rows[:, 3j] >= 0
     t_offsets = v_offsets // 3
-    tri_slot = jnp.arange(5, dtype=jnp.int32)[None, :]
-    tgt = jnp.where(tri_emit, t_offsets[:, None] + tri_slot, max_tris)
-    out = jnp.zeros((max_tris + 1, 9), jnp.float32)
-    out = out.at[tgt.reshape(-1)].set(tris.reshape(-1, 9), mode="drop")
-    stream = out[:max_tris].reshape(max_tris * 3, 3)
+    n_tris3 = occ_nverts // 3  # (M,) per-voxel triangle count
+    if mc_pallas.available() and tris.shape[0] % 128 == 0:
+        out = mc_pallas.pack_triangles_tpu(tris, t_offsets, n_tris3,
+                                           max_tris)
+        # rows past the final chunk's write window are uninitialized HBM;
+        # zero them like the scatter path did (NaN garbage would poison
+        # downstream masked matmuls)
+        total_tris = total_verts // 3
+        row_ok = jnp.arange(max_tris, dtype=jnp.int32) < total_tris
+        out = jnp.where(row_ok[:, None], out, 0.0)
+    else:
+        tri_slot = jnp.arange(5, dtype=jnp.int32)[None, :]
+        tgt = jnp.where(tri_emit, t_offsets[:, None] + tri_slot, max_tris)
+        out = jnp.zeros((max_tris + 1, 9), jnp.float32)
+        out = out.at[tgt.reshape(-1)].set(tris.reshape(-1, 9), mode="drop")
+        out = out[:max_tris]
+    stream = out.reshape(max_tris * 3, 3)
     if max_tris * 3 < max_verts:  # keep the advertised (max_verts, 3) shape
         stream = jnp.pad(stream, ((0, max_verts - max_tris * 3), (0, 0)))
     total_verts = jnp.minimum(total_verts, max_tris * 3)

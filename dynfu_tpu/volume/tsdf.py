@@ -213,13 +213,14 @@ def integrate(
     return vol._replace(tsdf=tsdf_a, weight=weight_a)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intr"))
+@functools.partial(jax.jit, static_argnames=("config", "intr", "fresh"))
 def integrate_separable(
     vol: TsdfVolume,
     dists: jnp.ndarray,  # (H, W) float16 meters
     camera_pose: tuple,  # (R, t) — ROTATION MUST BE AXIS-ALIGNED IDENTITY
     intr: Intr,
     config: TsdfConfig,
+    fresh: bool = False,
 ) -> TsdfVolume:
     """MXU fast path of `integrate` for axis-aligned poses.
 
@@ -283,8 +284,18 @@ def integrate_separable(
         sdf = Dp - norm_vc
         update = (Dp != 0) & (vcz_b > 0) & (sdf >= -config.trunc_dist)
 
-        tsdf_prev = jax.lax.dynamic_slice_in_dim(tsdf_a, z0, C, 2).astype(jnp.float32)
-        w_prev = jax.lax.dynamic_slice_in_dim(weight_a, z0, C, 2).astype(jnp.float32)
+        if fresh:
+            # clear-then-integrate fused: with w_prev == 0 the running
+            # average is exactly tsdf_in and w_new == 1, so skipping the
+            # previous-state reads (and the separate clear's full-volume
+            # write) is BIT-identical to tv.clear + integrate — the parity
+            # pipeline and the rigid loop clear every frame
+            # (dyn_fusion.cpp:107-116, kinfu.cpp:201-207)
+            tsdf_prev = jnp.zeros((X, Y, C), jnp.float32)
+            w_prev = jnp.zeros((X, Y, C), jnp.float32)
+        else:
+            tsdf_prev = jax.lax.dynamic_slice_in_dim(tsdf_a, z0, C, 2).astype(jnp.float32)
+            w_prev = jax.lax.dynamic_slice_in_dim(weight_a, z0, C, 2).astype(jnp.float32)
         tsdf_in = jnp.minimum(1.0, sdf * trunc_inv)
         tsdf_new = (tsdf_prev * w_prev + tsdf_in) / (w_prev + 1.0)
         w_new = jnp.minimum(w_prev + 1.0, float(config.max_weight))
@@ -382,13 +393,14 @@ def _vol2cam_rotation_split(vol: TsdfVolume, camera_pose):
     return R_rel, virt
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intr"))
+@functools.partial(jax.jit, static_argnames=("config", "intr", "fresh"))
 def integrate_rotated(
     vol: TsdfVolume,
     dists: jnp.ndarray,
     camera_pose: tuple,
     intr: Intr,
     config: TsdfConfig,
+    fresh: bool = False,
 ) -> TsdfVolume:
     """Rotated-camera integrate on the separable MXU path: warp the dists
     image by the rotation homography, then run integrate_separable from the
@@ -398,7 +410,8 @@ def integrate_rotated(
     R_rel, virt_pose = _vol2cam_rotation_split(vol, camera_pose)
     Hmat = _rotation_homography(R_rel, intr)
     warped = _warp_image_nearest(dists, Hmat, dists.shape)
-    return integrate_separable(vol, warped, virt_pose, intr, config)
+    return integrate_separable(vol, warped, virt_pose, intr, config,
+                               fresh=fresh)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "intr", "shape", "fov_margin"))

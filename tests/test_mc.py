@@ -219,3 +219,60 @@ def test_no_ungated_host_callbacks_in_library():
     assert not offenders, (
         "host callbacks without a cpu-backend gate (axon TPU cannot run "
         "them):\n" + "\n".join(offenders))
+
+
+def test_mc_pallas_pack_matches_scatter():
+    """The Pallas chunk-pack emission (mesh/mc_pallas.py, interpret mode)
+    reproduces the row-scatter's stream exactly, including capacity-spill
+    drop semantics and zeroed rows beyond the total count."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.mesh import mc_pallas
+
+    rng = np.random.RandomState(5)
+    M, chunk = 1024, 256
+    k = rng.randint(0, 6, M).astype(np.int32)
+    k[rng.rand(M) < 0.3] = 0  # plenty of empty cells
+    offs = np.concatenate([[0], np.cumsum(k)[:-1]]).astype(np.int32)
+    tris = rng.rand(M, 5, 9).astype(np.float32)
+    slot = np.arange(5)[None, :]
+    tris[slot >= k[:, None]] = 0.0
+    max_tris = int(k.sum()) + 7  # a few rows of tail
+
+    got = mc_pallas.pack_triangles_tpu(
+        jnp.asarray(tris), jnp.asarray(offs), jnp.asarray(k), max_tris,
+        chunk=chunk, interpret=True)
+    got = np.asarray(got)
+    # reference scatter
+    want = np.zeros((max_tris, 9), np.float32)
+    for v in range(M):
+        for s in range(k[v]):
+            if offs[v] + s < max_tris:
+                want[offs[v] + s] = tris[v, s]
+    total = int(k.sum())
+    got_z = got.copy()
+    got_z[total:] = 0.0  # mc.py zeroes rows >= total before use
+    np.testing.assert_array_equal(got_z[:total], want[:total])
+    # f32-faithful through the 3-way bf16 split
+    np.testing.assert_allclose(got_z, want, rtol=0, atol=1e-6)
+
+
+def test_mc_pallas_pack_capacity_spill():
+    """Offsets past max_tris clamp into the padding tail (drop), matching
+    the scatter's mode='drop'."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.mesh import mc_pallas
+
+    rng = np.random.RandomState(6)
+    M, chunk = 512, 256
+    k = np.full(M, 5, np.int32)
+    offs = np.arange(M, dtype=np.int32) * 5
+    tris = rng.rand(M, 5, 9).astype(np.float32)
+    max_tris = 100  # massive spill
+
+    got = np.asarray(mc_pallas.pack_triangles_tpu(
+        jnp.asarray(tris), jnp.asarray(offs), jnp.asarray(k), max_tris,
+        chunk=chunk, interpret=True))
+    want = tris.reshape(-1, 9)[:max_tris]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
