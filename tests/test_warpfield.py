@@ -112,3 +112,26 @@ def test_compose_translations_left():
     wf2 = wfield.compose_translations(wf, t)
     expected = dq.dq_mul(dq.dq_from_translation(t[0]), base)
     np.testing.assert_allclose(np.asarray(wf2.dqs[0]), np.asarray(expected), atol=1e-6)
+
+
+def test_unsupported_tiered_matches_exact():
+    """The 1-NN-prefiltered unsupported test (_unsupported_tiered) decides
+    exactly like the full 8-NN ratio whenever the ambiguous shell fits the
+    compaction cap — including mixed dg_w values, where the nearest node
+    can fail its own ratio while a farther, wider node supports."""
+    import jax.numpy as jnp
+
+    from dynfu_tpu.warp import field as wfield
+
+    rng = np.random.RandomState(17)
+    pos = rng.rand(64, 3).astype(np.float32) * 2.0
+    w = rng.choice([0.2, 0.3, 0.5], 64).astype(np.float32)
+    wf = wfield.init_warpfield(pos, weights=w, capacity=96)
+    verts = (rng.rand(4096, 3).astype(np.float32) * 3.0) - 0.5
+    vmask = rng.rand(4096) < 0.9
+
+    exact = np.asarray(wfield.unsupported_mask(
+        wf, jnp.asarray(verts), jnp.asarray(vmask)))
+    tiered = np.asarray(wfield._unsupported_tiered(
+        wf, jnp.asarray(verts), jnp.asarray(vmask), cap=4096))
+    np.testing.assert_array_equal(tiered, exact)
