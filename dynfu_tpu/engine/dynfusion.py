@@ -142,7 +142,8 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
 )
 def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
                     pose, *, dp, intr, config, strict_parity: bool,
-                    integrate_mode: str = "separable"):
+                    integrate_mode: str = "separable",
+                    canonical_mult=None):
     """The ENTIRE frame-k non-rigid pipeline as one XLA program:
     dists -> clear+integrate -> marching cubes -> warp canonical -> 1-NN
     correspondence -> GN solve -> node insertion (dyn_fusion.cpp:100-144).
@@ -215,6 +216,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     wf = wfield.update_warpfield(
         wf, wv, canonical_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes,
         blend="dlb" if (dp.solver_rotations and not strict_parity) else "dqb",
+        vert_weights=canonical_mult,
     )
     corr_dropped = jnp.sum((live_m & ~corr_m).astype(jnp.int32))
     stats = FrameStats(solve_stats, mc_dropped, corr_dropped)
@@ -400,6 +402,15 @@ class DynFusion(KinFu):
         self.warpfield: Optional[wfield.WarpField] = None
         self.canonical: Optional[Frame] = None
         self.canonical_warped: Optional[Frame] = None
+        # canonical dedup state (parity/fixed modes): the canonical is a
+        # triangle SOUP (3 verts/triangle, each mesh vertex appears ~6x),
+        # fixed at frame 0 — deduplicating once on the host shrinks every
+        # per-frame pass over it (warp, correspondence points, insertion)
+        # ~6x. Outputs expand back to the soup (warped_cloud), so export
+        # and metric semantics are unchanged.
+        self.soup_inverse = None  # (max_vertices,) int32 -> unique slot
+        self.soup_mask = None  # (max_vertices,) bool original soup mask
+        self.canonical_mult = None  # (Ucap,) f32 soup multiplicity
         self.live: Optional[Frame] = None
         self.mesh_vertices = None  # last MC triangle soup (buffer, count)
         self.last_frame_stats: Optional[FrameStats] = None
@@ -430,6 +441,65 @@ class DynFusion(KinFu):
                                          frame="volume")
         return Frame(idx, verts, normals, mask)
 
+    def _dedup_canonical(self, frame: Frame) -> Frame:
+        """ONE-time host dedup of the frame-0 canonical soup.
+
+        Marching cubes emits 3 vertices per triangle, so each mesh vertex
+        appears ~6x in the soup (V ~ T/2 for closed surfaces): the unique
+        set is ~6x smaller, and every per-frame pass over the canonical
+        (warp, correspondence point set, insertion) scales with it. The
+        inverse map expands warped outputs back to the soup at the engine
+        boundary (warped_cloud), and the multiplicity vector keeps node
+        insertion's voxel-downsample centroids EXACTLY soup-weighted —
+        external behavior is unchanged.
+
+        Host-side numpy (one ~3 MB readback at frame 0); the unique
+        capacity is bucketed to a power of two so jaxpr caches survive
+        scene-to-scene vertex-count jitter."""
+        import numpy as np
+
+        v = np.asarray(frame.vertices)
+        n = np.asarray(frame.normals)
+        m = np.asarray(frame.mask)
+        valid_idx = np.nonzero(m)[0]
+        uniq, first_idx, inv = np.unique(
+            v[valid_idx], axis=0, return_index=True, return_inverse=True)
+        U = max(int(uniq.shape[0]), 1)
+        ucap = 1 << max(10, (U - 1).bit_length())
+        mult = np.bincount(inv, minlength=U).astype(np.float32)
+
+        uv = np.zeros((ucap, 3), np.float32)
+        uv[:U] = uniq
+        un = np.zeros((ucap, 3), np.float32)
+        un[:U] = n[valid_idx][first_idx]
+        um = np.zeros(ucap, bool)
+        um[:U] = True
+        umult = np.zeros(ucap, np.float32)
+        umult[:U] = mult
+
+        inv_full = np.full(v.shape[0], ucap, np.int32)
+        inv_full[valid_idx] = inv.astype(np.int32)
+        self.soup_inverse = jnp.asarray(inv_full)
+        self.soup_mask = frame.mask
+        self.canonical_mult = jnp.asarray(umult)
+        return Frame(frame.idx, jnp.asarray(uv), jnp.asarray(un),
+                     jnp.asarray(um))
+
+    def _expand_to_soup(self, frame: Frame) -> Frame:
+        """Unique-granularity frame -> original soup order (one gather at
+        the engine boundary; not on the per-frame hot path)."""
+        if self.soup_inverse is None:
+            return frame
+        idx = jnp.minimum(self.soup_inverse,
+                          jnp.int32(frame.vertices.shape[0] - 1))
+        ok = self.soup_mask
+        return Frame(
+            frame.idx,
+            jnp.where(ok[:, None], frame.vertices[idx], 0.0),
+            jnp.where(ok[:, None], frame.normals[idx], 0.0),
+            ok,
+        )
+
     def _preprocess_nonrigid(self, depth_mm: jnp.ndarray):
         """dists/bilateral/truncate only (dyn_fusion.cpp:53-65; no pyramid —
         the non-rigid path never runs multi-scale ICP in parity mode)."""
@@ -455,12 +525,16 @@ class DynFusion(KinFu):
             self.vol = tv.integrate_separable(self.vol, dists, self.poses[-1],
                                               p.intr, self.tsdf_config)
             frame = self._mc_frame(0)
-            self.canonical = frame
-            self.canonical_warped = frame
+            # node sampling strides the SOUP (dyn_fusion.cpp:151 indexes the
+            # raw vertex array) — sample before any dedup
             self.warpfield = _sample_nodes(
                 frame.vertices, frame.mask, dp.max_nodes, dp.node_sample_step,
                 dp.init_node_dg_w_factor * dp.epsilon,
             )
+            if self.mode != "fusion":
+                frame = self._dedup_canonical(frame)
+            self.canonical = frame
+            self.canonical_warped = frame
             self.frame_counter += 1
             return False
 
@@ -528,6 +602,7 @@ class DynFusion(KinFu):
             depth_mm, pose,
             dp=dp, intr=p.intr, config=self.tsdf_config,
             strict_parity=self.strict_parity, integrate_mode=imode,
+            canonical_mult=self.canonical_mult,
         )
         self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
         self.live = Frame(self.frame_counter, live_v, live_n, live_m)
@@ -561,12 +636,14 @@ class DynFusion(KinFu):
             self.prev_pyr = saved
 
     def get_canonical_warped_to_live(self) -> Frame:
-        return self.canonical_warped
+        return self._expand_to_soup(self.canonical_warped)
 
     def warped_cloud(self):
         """Current warped canonical vertices (the .pcd export of the demo app,
-        demo.cpp:21-31). Returns (verts (N,3), mask)."""
-        f = self.canonical_warped
+        demo.cpp:21-31). Returns (verts (N,3), mask) in the original SOUP
+        order (internally the canonical is deduplicated; see
+        _dedup_canonical)."""
+        f = self._expand_to_soup(self.canonical_warped)
         return f.vertices, f.mask
 
     def mesh(self):

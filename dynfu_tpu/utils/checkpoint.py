@@ -51,6 +51,10 @@ def save_checkpoint(engine: "DynFusion", path: str) -> None:
             arrays[f"{name}_n"] = np.asarray(frame.normals)
             arrays[f"{name}_m"] = np.asarray(frame.mask)
             meta[f"{name}_idx"] = int(frame.idx)
+    if getattr(engine, "soup_inverse", None) is not None:
+        arrays["soup_inverse"] = np.asarray(engine.soup_inverse)
+        arrays["soup_mask"] = np.asarray(engine.soup_mask)
+        arrays["canonical_mult"] = np.asarray(engine.canonical_mult)
     arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
 
     d = os.path.dirname(os.path.abspath(path)) or "."
@@ -104,6 +108,14 @@ def load_checkpoint(engine: "DynFusion", path: str) -> "DynFusion":
                 normals=jnp.asarray(z[f"{name}_n"]),
                 mask=jnp.asarray(z[f"{name}_m"]),
             ))
+    if "soup_inverse" in z:
+        engine.soup_inverse = jnp.asarray(z["soup_inverse"])
+        engine.soup_mask = jnp.asarray(z["soup_mask"])
+        engine.canonical_mult = jnp.asarray(z["canonical_mult"])
+    else:
+        engine.soup_inverse = None
+        engine.soup_mask = None
+        engine.canonical_mult = None
 
     # derived state: fixed-mode engines track against a raycast reference
     # pyramid, which is a pure function of the restored volume + pose

@@ -248,15 +248,22 @@ def unsupported_mask(wf: WarpField, points, point_mask=None) -> jnp.ndarray:
     return unsupported
 
 
-def voxel_downsample(points, point_mask, leaf: float, capacity: int):
+def voxel_downsample(points, point_mask, leaf: float, capacity: int,
+                     weights=None):
     """Voxel-grid centroid downsample (PCL VoxelGrid analog, warp_field.cpp:67-71).
 
     Returns (centroids (capacity, 3), mask (capacity,)). Cells are hashed into
     a fixed table; centroids are emitted sorted by linear cell id (PCL's leaf
     ordering). Static-shape replacement for the reference's dynamic filter.
+
+    `weights` (point multiplicities) makes centroids over a DEDUPLICATED
+    point set exactly equal to the centroids over the original multiset
+    (the engine dedups the canonical soup; see DynFusion._dedup_canonical).
     """
     points = jnp.asarray(points, jnp.float32)
     point_mask = jnp.asarray(point_mask, bool)
+    wgt = (jnp.ones(points.shape[0], jnp.float32) if weights is None
+           else jnp.asarray(weights, jnp.float32))
     # quantize; PCL uses floor(p / leaf)
     cell = jnp.floor(points / leaf).astype(jnp.int32)
     # linear id over a bounded lattice (shift into positive range)
@@ -267,8 +274,10 @@ def voxel_downsample(points, point_mask, leaf: float, capacity: int):
     # segment-reduce into a hash table of size H
     H = max(2 * capacity, 1024)
     slot = jnp.where(cid >= 0, cid % H, H)  # masked points -> overflow slot H
-    sums = jnp.zeros((H + 1, 3), jnp.float32).at[slot].add(jnp.where(point_mask[:, None], points, 0.0))
-    cnts = jnp.zeros((H + 1,), jnp.float32).at[slot].add(point_mask.astype(jnp.float32))
+    w_eff = jnp.where(point_mask, wgt, 0.0)
+    sums = jnp.zeros((H + 1, 3), jnp.float32).at[slot].add(
+        w_eff[:, None] * points)
+    cnts = jnp.zeros((H + 1,), jnp.float32).at[slot].add(w_eff)
     # representative cell id per slot (min, to sort deterministically)
     reps = jnp.full((H + 1,), jnp.iinfo(jnp.int32).max, jnp.int32).at[slot].min(
         jnp.where(cid >= 0, cid, jnp.iinfo(jnp.int32).max)
@@ -359,9 +368,14 @@ def _unsupported_tiered(wf: WarpField, verts, vert_mask, cap: int):
 @functools.partial(jax.jit,
                    static_argnames=("epsilon", "leaf", "max_new", "blend"))
 def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: float = 0.05,
-                     max_new: int = 1024, blend: str = "dqb") -> WarpField:
+                     max_new: int = 1024, blend: str = "dqb",
+                     vert_weights=None) -> WarpField:
     """Warpfield::update (warp_field.cpp:63-95): find unsupported vertices,
-    voxel-grid downsample them, insert as new nodes with dg_w = 2*epsilon."""
+    voxel-grid downsample them, insert as new nodes with dg_w = 2*epsilon.
+
+    `vert_weights` carries soup multiplicities when `verts` is the
+    deduplicated canonical — downsample centroids stay exactly
+    soup-weighted."""
     unsup = _unsupported_tiered(wf, verts, vert_mask,
                                 cap=min(verts.shape[0], 4 * max_new))
     # compact the (sparse) unsupported set before the downsample: the hash
@@ -373,8 +387,12 @@ def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: floa
     cap = min(n, 4 * max_new)
     idx = jnp.nonzero(unsup, size=cap, fill_value=n)[0]
     ok = idx < n
-    cand_pts = jnp.where(ok[:, None], verts[jnp.minimum(idx, n - 1)], 0.0)
-    cand, cand_mask = voxel_downsample(cand_pts, ok, leaf, max_new)
+    safe = jnp.minimum(idx, n - 1)
+    cand_pts = jnp.where(ok[:, None], verts[safe], 0.0)
+    cand_w = None if vert_weights is None else jnp.where(
+        ok, vert_weights[safe], 0.0)
+    cand, cand_mask = voxel_downsample(cand_pts, ok, leaf, max_new,
+                                       weights=cand_w)
     return insert_nodes(wf, cand, cand_mask, 2.0 * epsilon, blend=blend)
 
 
