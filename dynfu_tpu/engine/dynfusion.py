@@ -36,6 +36,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from dynfu_tpu.core import dualquat as dq
 from dynfu_tpu.core import se3
 from dynfu_tpu.engine.kinfu import KinFu
 from dynfu_tpu.engine.params import DynFuParams
@@ -100,7 +101,8 @@ def _sample_nodes(verts, vert_mask, capacity: int, step: int, dg_w: float):
 
 def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
                     live_mask, parity: bool, rescue: int = 0,
-                    escalate: int = 0, window_blocks: int = 3):
+                    escalate: int = 0, window_blocks: int = 3,
+                    payload=None):
     """findCorrespondingFrame (dyn_fusion.cpp:212-242): for every live vertex
     the 1-NN WARPED canonical vertex/normal, indexed like the live frame.
 
@@ -122,18 +124,27 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
     # x beyond the window margins at 512-cube scale — measured 102k/225k
     # certificate failures when the frame-0 MC order was trusted. The sort
     # itself is ~1-2 ms at 262k; not the stage's cost.
+    #
+    # `payload` rows (e.g. the solve's per-point data-graph columns) ride
+    # the same fetch; returns (corr_v, corr_n, mask, fetched_payload).
     if parity:
+        vals = warped_verts if payload is None else jnp.concatenate(
+            [warped_verts, payload], axis=1)
         out, exact = knn.nn1_gather_xwindow(
-            live_verts, warped_verts, None, warped_mask, live_mask,
+            live_verts, warped_verts,
+            None if payload is None else vals, warped_mask, live_mask,
             rescue=rescue, escalate=escalate, window_blocks=window_blocks,
         )
-        return out, out, live_mask & exact
-    vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
+        # placeholder-normal quirk: normals ARE the vertices
+        return out[:, :3], out[:, :3], live_mask & exact, out[:, 3:]
+    vals = jnp.concatenate(
+        [warped_verts, warped_normals] +
+        ([] if payload is None else [payload]), axis=1)
     out, exact = knn.nn1_gather_xwindow(
         live_verts, warped_verts, vals, warped_mask, live_mask,
         rescue=rescue, escalate=escalate, window_blocks=window_blocks,
     )
-    return out[:, :3], out[:, 3:], live_mask & exact
+    return out[:, :3], out[:, 3:6], live_mask & exact, out[:, 6:]
 
 
 @functools.partial(
@@ -182,10 +193,32 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     else:
         wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
 
-    corr_v, corr_n, corr_m = _correspondence(
+    # the solve's data graph (k-NN node indices + Gaussian weights at the
+    # warped canonical positions — exactly what gn.solve would recompute
+    # per LIVE vertex at the fetched corr_v = wv[j] values) is computed
+    # ONCE at the ~6x-smaller unique set and rides the correspondence
+    # fetch to live indexing, replacing a full (N, D) k-NN inside the
+    # solve. SE(3) mode keeps its own pass (its relinearization re-queries).
+    use_graph_fetch = not (dp.solver_rotations and not strict_parity)
+    payload = None
+    if use_graph_fetch:
+        g_idx, _, g_pos, g_dq, g_w, g_valid = wfield.neighbor_features(
+            wf, wv, dp.knn)
+        g_dw = wfield.transformation_weights(g_pos, g_w, wv[:, None, :])
+        g_dw = jnp.where(g_valid, g_dw, 0.0)
+        # the solver's Tukey residual warps its (already-warped) input
+        # AGAIN — the reference hands the warped frame to CombinedSolver,
+        # whose updateTukeyBiweights re-runs calcDQB on it
+        # (opt_solver.cpp:204-231); same neighbor pass, one extra blend
+        g_blend = wfield._dqb_from_features(wv, g_pos, g_dq, g_w, g_valid)
+        wv2 = dq.dq_transform_point(g_blend, wv)
+        payload = jnp.concatenate(
+            [g_idx.astype(jnp.float32), g_dw, wv2], axis=1)  # (U, 2k+3)
+
+    corr_v, corr_n, corr_m, fetched = _correspondence(
         wv, wn, canonical_m, live_v, live_m, strict_parity,
         rescue=dp.corr_rescue, escalate=dp.corr_escalate,
-        window_blocks=dp.corr_window_blocks,
+        window_blocks=dp.corr_window_blocks, payload=payload,
     )
 
     # full reference schedule (dyn_fusion.cpp:183-189): numIter=24 outer /
@@ -203,8 +236,12 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             rot_prior=dp.se3_rot_prior, trans_prior=dp.se3_trans_prior,
         )
     else:
+        k = dp.knn
+        graph_w = (fetched[:, :k], fetched[:, k:2 * k],
+                   fetched[:, 2 * k:2 * k + 3])
         wf, solve_stats = gn.solve(
             wf, corr_v, live_v, vert_mask=corr_m & live_m,
+            graph_w=graph_w,
             tukey_offset=dp.tukey_offset, psi_data=dp.psi_data,
             lambda_reg=dp.lambda_reg, psi_reg=dp.psi_reg,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,

@@ -43,7 +43,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _corr_kernel(lo_ref, pre_ref, suf_ref, qT_ref, psT_ref, vals_ref,
-                 ex_ref, *, W, SW, TQ):
+                 ex_ref, *, W, SW, TQ, FP):
+    """FP = payload row count: 0 fetches the point coordinates (rows 0-7 of
+    psT, the original contract); FP > 0 fetches psT rows 8..8+FP instead
+    (arbitrary per-point payload — e.g. the solve's data-graph rows riding
+    the correspondence, engine/dynfusion._nonrigid_frame)."""
     """Points on SUBLANES, queries on LANES (the same orientation as
     ops/knn_pallas: sublane reductions are the fast direction; measured
     6x over lane reductions). Window coordinates arrive as (1, SW) lane
@@ -66,7 +70,7 @@ def _corr_kernel(lo_ref, pre_ref, suf_ref, qT_ref, psT_ref, vals_ref,
     def sub(s, carry):
         best_d, best_j, vals = carry
         off = lo + s * SW
-        pv = psT_ref[:, pl.ds(off, SW)]  # (8, SW) f32
+        pv = psT_ref[0:8, pl.ds(off, SW)]  # (8, SW) f32 coords
         # transpose via MXU: (8, SW)^T @ (8, 8) -> (SW, 8); coords exact
         # in the bf16 hi/lo split
         p_hi = pv.astype(jnp.bfloat16)
@@ -93,18 +97,22 @@ def _corr_kernel(lo_ref, pre_ref, suf_ref, qT_ref, psT_ref, vals_ref,
         return (jnp.where(take, dmin, best_d),
                 jnp.where(take, off + jmin, best_j), vals)
 
+    FO = max(8, FP)
     best0 = jnp.full((TQ,), jnp.float32(jnp.inf))
     j0 = jnp.zeros((TQ,), jnp.int32)
-    vals0 = jnp.zeros((8, TQ), jnp.float32)
+    vals0 = jnp.zeros((FO, TQ), jnp.float32)
     best_d, best_j, _ = jax.lax.fori_loop(0, W // SW, sub,
                                           (best0, j0, vals0))
 
     # single fetch pass now that the global winner is known: one-hot per
-    # sub-tile against best_j, standard (8, SW) @ (SW, TQ) matmul
+    # sub-tile against best_j, standard (F, SW) @ (SW, TQ) matmul
     def fetch(s, vals):
         off = lo + s * SW
         oh = ((rows + off) == best_j[None, :]).astype(jnp.bfloat16)
-        pv = psT_ref[:, pl.ds(off, SW)]
+        if FP:
+            pv = psT_ref[8:8 + FP, pl.ds(off, SW)]
+        else:
+            pv = psT_ref[0:8, pl.ds(off, SW)]
         p_hi = pv.astype(jnp.bfloat16)
         p_lo = (pv - p_hi.astype(f32)).astype(jnp.bfloat16)
         v = jax.lax.dot_general(p_hi, oh, (((1,), (0,)), ((), ())),
@@ -135,19 +143,29 @@ def nn1_window_sweep_tpu(
     sw: int = 512,
     window: int = 12288,
     interpret: bool = False,
+    vals_payload: jnp.ndarray | None = None,  # (Pp, F) per-point payload
 ):
-    """(vals (Qp, 3) centered coords of the window-1-NN, exact (Qp,) bool).
-    Drop-in for the values=None `_window_sweep` given precomputed window
-    starts/bounds at the query-tile granularity. ps must arrive padded to
-    a multiple of 128 >= window (lo_el is clipped against that length)."""
+    """(vals (Qp, 3|F), exact (Qp,) bool): the window-1-NN's centered
+    coordinates, or — with `vals_payload` — its payload row (fetched
+    through the same hi/lo-split one-hot matmul; ints up to 2^16 and
+    ~16-bit-relative floats survive exactly / faithfully).
+    Drop-in for `_window_sweep` given precomputed window starts/bounds at
+    the query-tile granularity. ps must arrive padded to a multiple of
+    128 >= window (lo_el is clipped against that length)."""
     Qp, _ = qs.shape
     Pp = ps.shape[0]
     assert Qp % tq == 0 and window % sw == 0
     assert Pp % 128 == 0 and Pp >= window
     nqb = Qp // tq
 
+    F = 0 if vals_payload is None else vals_payload.shape[1]
+    FP = 0 if F == 0 else -(-F // 8) * 8
+    FO = max(8, FP)
     qT = jnp.full((8, Qp), 2.0 * _BIG, jnp.float32).at[:3].set(qs.T)
-    psT = jnp.full((8, Pp), 2.0 * _BIG, jnp.float32).at[:3].set(ps.T)
+    psT = jnp.full((8 + FP, Pp), 2.0 * _BIG, jnp.float32).at[:3].set(ps.T)
+    if FP:
+        psT = psT.at[8:8 + F].set(vals_payload.T)
+        psT = psT.at[8 + F:8 + FP].set(0.0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -155,25 +173,27 @@ def nn1_window_sweep_tpu(
         in_specs=[
             pl.BlockSpec((8, tq), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, Pp), lambda i, *_: (0, 0),
+            pl.BlockSpec((8 + FP, Pp), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, tq), lambda i, *_: (0, i),
+            pl.BlockSpec((FO, tq), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
     vals, ex = pl.pallas_call(
-        functools.partial(_corr_kernel, W=window, SW=sw, TQ=tq),
+        functools.partial(_corr_kernel, W=window, SW=sw, TQ=tq, FP=FP),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((8, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((FO, Qp), jnp.float32),
             jax.ShapeDtypeStruct((1, Qp), jnp.int32),
         ],
         interpret=interpret,
     )(lo_el, pre, suf, qT, psT)
+    if F:
+        return vals[:F].T, ex[0] > 0
     return vals[:3].T, ex[0] > 0
 
 

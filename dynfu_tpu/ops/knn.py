@@ -531,16 +531,20 @@ def nn1_gather_xwindow(
     from dynfu_tpu.ops import corr_pallas
 
     # the Pallas sweep keeps the transposed point set resident in VMEM —
-    # bounded to ~8.4 MB of the ~16 MB budget
-    use_pallas = (corr_pallas.available() and values is None
-                  and P <= (1 << 18) + 8192)
+    # bounded to ~8.4 MB of the ~16 MB budget. Payload fetch (values) rides
+    # the same kernel for F <= 32 columns (ints <= 2^16 exact, floats
+    # ~16-bit-relative through the hi/lo split).
+    use_pallas = (corr_pallas.available() and P <= (1 << 18) + 8192
+                  and (values is None or F <= 32))
 
     def one_pass(qs_c, wb):
         """One windowed sweep over the SORTED points for BIG-masked
         centered queries qs_c: (vals CENTERED-if-coords, exact)."""
         n = qs_c.shape[0]
         if use_pallas:
-            return _window_pass_pallas(qs_c, ps, n, P, wb * block)
+            return _window_pass_pallas(
+                qs_c, ps, n, P, wb * block,
+                vals=None if values is None else vs)
         padq = (-n) % block
         qsp = jnp.pad(qs_c, ((0, padq), (0, 0)), constant_values=BIG)
         W = wb * block
@@ -619,11 +623,13 @@ def _brute_rescue(vals, exact, qs0, ps, vs, R: int):
 
 
 def _window_pass_pallas(qs0, pts, Q: int, P: int, W: int,
-                          tq: int = 2048, interpret: bool = False):
+                          tq: int = 2048, interpret: bool = False,
+                          vals=None):
     """Window starts + order-free bounds at 128-element granularity, then
     the Pallas resident-point sweep (ops/corr_pallas.py) over the (sorted)
     BIG-masked centered points. Same contract as the `_window_sweep`
-    branch with values=None: (vals (Q,3) CENTERED coords, exact (Q,))."""
+    branch: (vals (Q,3) CENTERED coords — or the (Q,F) payload rows when
+    `vals` is given — exact (Q,))."""
     from dynfu_tpu.ops import corr_pallas
 
     BIG = jnp.float32(3e38)
@@ -658,9 +664,11 @@ def _window_pass_pallas(qs0, pts, Q: int, P: int, W: int,
     suf_v = suf[lo_b + W // B]
 
     ptsP = jnp.pad(pts, ((0, Pp - P), (0, 0)), constant_values=BIG)
+    valsP = None if vals is None else jnp.pad(
+        vals, ((0, Pp - P), (0, 0)))
     vals_p, ex_p = corr_pallas.nn1_window_sweep_tpu(
         qsP, ptsP, lo_el, pre_v, suf_v, tq=tq, window=W,
-        interpret=interpret)
+        interpret=interpret, vals_payload=valsP)
     return vals_p[:Q], ex_p[:Q]
 
 

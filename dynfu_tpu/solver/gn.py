@@ -156,6 +156,7 @@ def solve(
     vert_mask=None,
     *,
     graph=None,
+    graph_w=None,
     tukey_offset: float = 4.652,
     psi_data: float = 0.01,
     lambda_reg: float = 200.0,
@@ -207,20 +208,30 @@ def solve(
     # The engine already runs this exact pass to warp the canonical frame
     # (dyn_fusion.cpp:203) — `graph=(data_idx, n_pos, n_w, n_valid, warped)`
     # shares it instead of paying the (N, D) search twice per frame.
-    if graph is None:
-        data_idx, _, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
-            wf, canonical_v, knn_k
-        )
-        blend = wfield._dqb_from_features(
-            canonical_v, n_pos, n_dq, n_w, n_valid)
-        warped = dq.dq_transform_point(blend, canonical_v)
+    if graph_w is not None:
+        # prefetched graph rows: (data_idx, data_w, warped). The engine
+        # computes the k-NN + weights ONCE at the (deduplicated) warped
+        # canonical and rides them through the correspondence fetch
+        # (engine/dynfusion._nonrigid_frame) — invalid neighbors arrive
+        # weight-0, so no separate validity mask is needed.
+        data_idx, data_w, warped = graph_w
+        data_idx = data_idx.astype(jnp.int32)
     else:
-        data_idx, n_pos, n_w, n_valid, warped = graph
+        if graph is None:
+            data_idx, _, n_pos, n_dq, n_w, n_valid = wfield.neighbor_features(
+                wf, canonical_v, knn_k
+            )
+            blend = wfield._dqb_from_features(
+                canonical_v, n_pos, n_dq, n_w, n_valid)
+            warped = dq.dq_transform_point(blend, canonical_v)
+        else:
+            data_idx, n_pos, n_w, n_valid, warped = graph
+        # data weights at canonical vertices (energy.t:50-53)
+        data_w = wfield.transformation_weights(
+            n_pos, n_w, canonical_v[:, None, :])
+        data_w = jnp.where(n_valid, data_w, 0.0)
     reg_idx, _ = wfield.find_neighbors(wf, wf.pos, knn_k)
 
-    # data weights at canonical vertices (energy.t:50-53)
-    data_w = wfield.transformation_weights(n_pos, n_w, canonical_v[:, None, :])
-    data_w = jnp.where(n_valid, data_w, 0.0)
     s2 = tukey_biweights(warped, live_v, tukey_offset, psi_data)  # tukey
     s2 = jnp.where(vert_mask, s2, 0.0)
 
