@@ -1,3 +1,4 @@
+from dynfu_tpu.dist.driver import ShardedDynFusion  # noqa: F401
 from dynfu_tpu.dist.runtime import init_distributed, is_primary  # noqa: F401
 from dynfu_tpu.dist.engine_spmd import (  # noqa: F401
     place_engine_state,

@@ -65,12 +65,16 @@ def sharded_engine_frame(
     config: tv.TsdfConfig,
     strict_parity: bool = True,
     integrate_mode: str = "separable",
+    with_mult: bool = False,
 ):
     """The engine's `_nonrigid_frame` jitted over `mesh`.
 
     Returns step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     pose) with the same signature/outputs as the single-chip program:
     (vol, wf, wv, wn, live_v, live_n, live_m, mesh_verts, n_verts, stats).
+    With `with_mult=True` the step takes a trailing canonical_mult arg
+    (soup multiplicities for insertion centroids; the multi-chip driver
+    passes it, matching the single-chip engine).
 
     Inputs must be placed accordingly (`place_engine_state` does it); the
     outputs keep the volume blocked and the vertex buffers row-sharded so
@@ -78,7 +82,8 @@ def sharded_engine_frame(
     """
     blocked, repl, rows, vol_s, wf_s = _shardings(mesh)
 
-    def step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose):
+    def step(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm, pose,
+             *mult):
         # GSPMD cannot partition a pallas_call over sharded operands; the
         # sharded trace forces the XLA formulations (which partition
         # cleanly and are what test_dist certifies vs single-device)
@@ -91,6 +96,7 @@ def sharded_engine_frame(
                 pose, dp=dp, intr=intr, config=config,
                 strict_parity=strict_parity,
                 integrate_mode=integrate_mode,
+                canonical_mult=mult[0] if mult else None,
             )
 
     solve_proto = (se3_solver.Se3Stats(0, 0, 0, 0)
@@ -102,6 +108,8 @@ def sharded_engine_frame(
     )
     out_s = (vol_s, wf_s, rows, rows, rows, rows, rows, rows, repl, stats_s)
     in_s = (vol_s, wf_s, rows, rows, rows, repl, (repl, repl))
+    if with_mult:
+        in_s = in_s + (rows,)
     return jax.jit(step, in_shardings=in_s, out_shardings=out_s)
 
 

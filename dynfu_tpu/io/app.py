@@ -37,6 +37,7 @@ def run_dataset(
     resume: Optional[str] = None,
     rigid: bool = False,
     mode: Optional[str] = None,
+    devices: int = 0,
 ) -> int:
     if rigid:
         return run_dataset_rigid(dataset, out_dir=out_dir, max_frames=max_frames,
@@ -64,13 +65,24 @@ def run_dataset(
         )
         params = dataclasses.replace(params, kinfu=kf)
 
-    engine = DynFusion(params, mode=mode)
+    if devices and devices > 1:
+        from dynfu_tpu.dist.driver import ShardedDynFusion
+
+        engine = ShardedDynFusion(params, mode=mode or "parity",
+                                  n_devices=devices)
+        ckpt_target = engine.engine
+    else:
+        engine = DynFusion(params, mode=mode)
+        ckpt_target = engine
     start = 0
     if resume:
         from dynfu_tpu.utils.checkpoint import load_checkpoint
 
-        load_checkpoint(engine, resume)
-        start = engine.frame_counter
+        load_checkpoint(ckpt_target, resume)
+        start = ckpt_target.frame_counter
+        if devices and devices > 1 and start > 0:
+            engine._place()
+            engine._build_steps()
         print(f"resumed from {resume} at frame {start}")
     sampler = SampledScopeTime()
     loader = DepthLoader(depths)  # native threaded decode when available

@@ -35,6 +35,13 @@ def main(argv=None) -> int:
                      choices=["parity", "fixed", "fusion"],
                      help="DynFusion engine mode (default: parity; 'fusion' "
                           "= persistent canonical volume)")
+    run.add_argument("--devices", type=int, default=0,
+                     help="run the engine sharded over an N-device mesh "
+                          "(dist.driver.ShardedDynFusion; volume blocked, "
+                          "vertices row-sharded). 0 = single device. "
+                          "Multi-host slices additionally set "
+                          "DYNFU_COORDINATOR/DYNFU_NUM_PROCESSES/"
+                          "DYNFU_PROCESS_ID (dist.runtime).")
 
     bench = sub.add_parser("bench", help="run the synthetic benchmark")
     bench.add_argument("--volume-dims", type=int, default=128)
@@ -70,6 +77,11 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     if args.cmd == "run":
+        # multi-host bootstrap BEFORE any device-enumerating jax API —
+        # no-op without a configured coordinator (dist/runtime.py)
+        from dynfu_tpu.dist.runtime import init_distributed
+
+        init_distributed()
         from dynfu_tpu.utils.device import print_short_device_info
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache
 
@@ -87,6 +99,7 @@ def main(argv=None) -> int:
             resume=args.resume,
             rigid=args.rigid,
             mode=args.mode,
+            devices=args.devices,
         )
     if args.cmd == "bench":
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache

@@ -295,3 +295,78 @@ def test_shard_map_pallas_warp_matches(mesh):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
                                atol=2e-5)
+
+
+def test_sharded_driver_chains_frames(mesh):
+    """ShardedDynFusion drives MULTIPLE frames end-to-end over the mesh
+    (frame-0 bootstrap + sharded chaining, state device-resident) and
+    matches the single-device engine's warped cloud and node state."""
+    from dynfu_tpu.dist.driver import ShardedDynFusion
+    from dynfu_tpu.engine.dynfusion import DynFusion
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+
+    rows, cols = 120, 160
+    intr = Intr(131.25, 131.25, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(64, 64, 64)),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64,
+    )
+    frames = [sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols,
+                           intr.fx, intr.fy, intr.cx, intr.cy)
+              for i in range(4)]
+
+    ref = DynFusion(params)
+    drv = ShardedDynFusion(params, mode="parity", mesh=mesh)
+    for d in frames:
+        ref(d)
+        drv(d)
+
+    # state stayed sharded through the chain
+    shard_shapes = {s.data.shape for s in drv.engine.vol.tsdf.addressable_shards}
+    assert shard_shapes == {(8, 64, 64)}, shard_shapes
+
+    wv_r, wm_r = ref.warped_cloud()
+    wv_d, wm_d = drv.warped_cloud()
+    np.testing.assert_array_equal(np.asarray(wm_d), np.asarray(wm_r))
+    np.testing.assert_allclose(np.asarray(wv_d), np.asarray(wv_r),
+                               atol=1e-5, rtol=0)
+    assert int(drv.engine.warpfield.count) == int(ref.warpfield.count)
+    np.testing.assert_allclose(np.asarray(drv.engine.warpfield.dqs),
+                               np.asarray(ref.warpfield.dqs),
+                               atol=1e-5, rtol=0)
+
+
+def test_sharded_driver_fusion_mode(mesh):
+    """Fusion-mode driver: persistent canonical volume chained under the
+    mesh matches single-device."""
+    from dynfu_tpu.dist.driver import ShardedDynFusion
+    from dynfu_tpu.engine.dynfusion import DynFusion
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+
+    rows, cols = 120, 160
+    intr = Intr(131.25, 131.25, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(64, 64, 64)),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64, fusion_max_active=1 << 15,
+    )
+    frames = [sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols,
+                           intr.fx, intr.fy, intr.cx, intr.cy)
+              for i in range(3)]
+
+    ref = DynFusion(params, mode="fusion")
+    drv = ShardedDynFusion(params, mode="fusion", mesh=mesh)
+    for d in frames:
+        ref(d)
+        drv(d)
+
+    wv_r, wm_r = ref.warped_cloud()
+    wv_d, wm_d = drv.warped_cloud()
+    np.testing.assert_array_equal(np.asarray(wm_d), np.asarray(wm_r))
+    np.testing.assert_allclose(np.asarray(wv_d), np.asarray(wv_r),
+                               atol=1e-5, rtol=0)
