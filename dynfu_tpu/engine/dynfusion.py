@@ -448,6 +448,7 @@ class DynFusion(KinFu):
         self.soup_inverse = None  # (max_vertices,) int32 -> unique slot
         self.soup_mask = None  # (max_vertices,) bool original soup mask
         self.canonical_mult = None  # (Ucap,) f32 soup multiplicity
+        self.prev_live_pyr = None  # fusion_camera_tracking reference pyramid
         self.live: Optional[Frame] = None
         self.mesh_vertices = None  # last MC triangle soup (buffer, count)
         self.last_frame_stats: Optional[FrameStats] = None
@@ -537,6 +538,50 @@ class DynFusion(KinFu):
             ok,
         )
 
+    def _fusion_track_pose(self, depth_mm) -> None:
+        """Frame-to-frame rigid camera tracking for fusion mode
+        (fusion_camera_tracking): projective point-to-plane ICP of the
+        current depth pyramid against the PREVIOUS frame's — the moving
+        camera's motion is recovered rigidly so the warp solve only sees
+        true deformation. Uses the same stencil-association fast path +
+        gather rescue as the rigid engine (kinfu.py __call__); a
+        degenerate solve keeps the previous pose (one frame of identity
+        increment, not a reconstruction reset — the canonical volume is
+        persistent and too valuable to drop)."""
+        import numpy as np
+
+        from dynfu_tpu.rigid import icp as _icp
+
+        p = self.params
+        _, curr_pyr = self._preprocess(depth_mm)
+        if self.prev_live_pyr is None:
+            self.prev_live_pyr = curr_pyr
+            self.poses.append(self.poses[-1])
+            return
+
+        def _pull(res):
+            (R, t), ok = res
+            return np.asarray(jnp.concatenate(
+                [R.reshape(-1), t, ok.astype(jnp.float32)[None]]))
+
+        packed = None
+        if p.icp_assoc == "stencil":
+            packed = _pull(_icp.estimate_transform_stencil(
+                curr_pyr, self.prev_live_pyr, p.intr, iters=p.icp_iter_num,
+                dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
+                radii=p.icp_stencil_radii))
+        if packed is None or packed[12] == 0.0:
+            packed = _pull(_icp.estimate_transform(
+                curr_pyr, self.prev_live_pyr, p.intr, iters=p.icp_iter_num,
+                dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres))
+        if packed[12] != 0.0:
+            R, t = packed[:9].reshape(3, 3), packed[9:12]
+            Rp, tp = self.poses[-1]
+            self.poses.append((Rp @ R, Rp @ t + tp))
+        else:
+            self.poses.append(self.poses[-1])
+        self.prev_live_pyr = curr_pyr
+
     def _preprocess_nonrigid(self, depth_mm: jnp.ndarray):
         """dists/bilateral/truncate only (dyn_fusion.cpp:53-65; no pyramid —
         the non-rigid path never runs multi-scale ICP in parity mode)."""
@@ -570,16 +615,24 @@ class DynFusion(KinFu):
             )
             if self.mode != "fusion":
                 frame = self._dedup_canonical(frame)
+            elif dp.fusion_camera_tracking:
+                _, self.prev_live_pyr = self._preprocess(depth_mm)
             self.canonical = frame
             self.canonical_warped = frame
             self.frame_counter += 1
             return False
 
         if self.mode == "fusion":
-            # static-camera sequences for now: identity pose increment (the
-            # reference never wires ICP either, dyn_fusion.cpp:102-105);
-            # moving-camera fusion needs ICP against the live depth pyramid
-            self.poses.append(self.poses[-1])
+            # camera pose: identity increment by default (the reference
+            # never wires ICP either, dyn_fusion.cpp:102-105); with
+            # fusion_camera_tracking, frame-to-frame projective ICP on the
+            # depth pyramids recovers the rigid camera motion BEFORE the
+            # non-rigid solve sees the residual (deforming regions fall to
+            # the ICP distance/angle gates like any outlier)
+            if dp.fusion_camera_tracking:
+                self._fusion_track_pose(depth_mm)
+            else:
+                self.poses.append(self.poses[-1])
             c = self.canonical
             (self.vol, self.warpfield, new_v, new_n, new_m, n_verts, wv2,
              wn2, self.last_frame_stats) = _fusion_frame(

@@ -174,6 +174,15 @@ class DynFuParams:
     # damping — true rotations converge through it across
     # relinearizations, noise-spin (unobservable on smooth geometry)
     # stays O(info/prior) small
+    fusion_camera_tracking: bool = False  # fusion mode: estimate the
+    # camera pose per frame by frame-to-frame projective ICP on the depth
+    # point/normal pyramids (stencil association, gather rescue — the
+    # rigid machinery of engine/kinfu.py) instead of pinning it to
+    # identity. Off by default: static-camera sequences keep the exact
+    # static behavior and skip the per-frame pose readback; turn on for
+    # moving-camera captures. Deforming regions are rejected by the ICP
+    # distance/angle gates like any outlier; the non-rigid solve absorbs
+    # the residual after the rigid motion is removed.
     fusion_min_update_vox: float = 0.1  # per-node update soft-threshold in
     # voxel units (gn.solve min_update): static scenes stay EXACTLY static
     # instead of baking per-frame solve jitter into the canonical volume

@@ -142,3 +142,70 @@ def test_fusion_warmup_improves_static_canonical():
                                        RADIUS))
 
     assert err(2) < err(0) - 1e-4
+
+
+def test_fusion_camera_tracking_moving_camera():
+    """fusion_camera_tracking=True: a TRANSLATING camera over a static
+    scene is tracked by frame-to-frame projective ICP — the recovered pose
+    matches the true camera motion and the canonical surface quality is
+    comparable to the static-camera run (the capability the parity
+    reference stubbed out, dyn_fusion.cpp:102-105)."""
+    import dataclasses
+
+    from test_pipeline import scene_depth
+
+    params = dataclasses.replace(small_dynfu_params(),
+                                 fusion_camera_tracking=True)
+    cams = [np.asarray([0.002 * i, -0.001 * i, 0.0015 * i])
+            for i in range(6)]
+    df = DynFusion(params, mode="fusion")
+    for c in cams:
+        df(scene_depth(cam_t=c))
+
+    R, t = df.poses[-1]
+    np.testing.assert_allclose(np.asarray(t), cams[-1], atol=0.004)
+    ang = np.degrees(np.arccos(np.clip((np.trace(np.asarray(R)) - 1) / 2,
+                                       -1, 1)))
+    assert ang < 1.0, f"spurious rotation {ang} deg"
+
+    # canonical quality comparable to the static-camera run
+    cv, cm = df.canonical.vertices, np.asarray(df.canonical.mask)
+    cerr = np.median(surface_error(cv, cm, np.asarray(CENTER) - VOL_T,
+                                   RADIUS))
+    df0 = DynFusion(small_dynfu_params(), mode="fusion")
+    for _ in cams:
+        df0(scene_depth())
+    cv0, cm0 = df0.canonical.vertices, np.asarray(df0.canonical.mask)
+    cerr0 = np.median(surface_error(cv0, cm0, np.asarray(CENTER) - VOL_T,
+                                    RADIUS))
+    assert cerr < max(2.0 * cerr0, 0.006), (cerr, cerr0)
+
+
+def test_fusion_camera_tracking_static_is_stable():
+    """Tracking enabled on a perfectly static camera must not degrade the
+    static behavior: the recovered pose stays ~identity and the canonical
+    error matches the tracking-off run closely."""
+    import dataclasses
+
+    from test_pipeline import scene_depth
+
+    params = dataclasses.replace(small_dynfu_params(),
+                                 fusion_camera_tracking=True)
+    # 3-sphere scene: a single sphere leaves rotation about its center
+    # unobservable and the gauge freedom bleeds into the translation
+    seq = [scene_depth() for _ in range(5)]
+    df = DynFusion(params, mode="fusion")
+    for f in seq:
+        df(f)
+    R, t = df.poses[-1]
+    # per-frame ICP noise at this tiny resolution (120x160, mm-quantized
+    # depth) is ~0.5 mm; 5 frames of random-walk stay under 4 mm
+    assert np.linalg.norm(np.asarray(t)) < 0.004, t
+    cv, cm = df.canonical.vertices, np.asarray(df.canonical.mask)
+    cerr = np.median(surface_error(cv, cm, np.asarray(CENTER) - VOL_T,
+                                   RADIUS))
+    df0 = _run(seq)
+    cv0, cm0 = df0.canonical.vertices, np.asarray(df0.canonical.mask)
+    cerr0 = np.median(surface_error(cv0, cm0, np.asarray(CENTER) - VOL_T,
+                                    RADIUS))
+    assert cerr < cerr0 + 0.002, (cerr, cerr0)
