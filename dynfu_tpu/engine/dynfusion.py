@@ -125,21 +125,21 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
     # certificate failures when the frame-0 MC order was trusted. The sort
     # itself is ~1-2 ms at 262k; not the stage's cost.
     #
-    # `payload` rows (e.g. the solve's per-point data-graph columns) ride
-    # the same fetch; returns (corr_v, corr_n, mask, fetched_payload).
+    # `payload` — a values_fn(sorted_points, valid) -> (P, F) computing
+    # per-point payload rows (the solve's data-graph columns) AFTER the
+    # internal sort (payload may not ride lax.sort: its compile time
+    # explodes with operand arity). Returns (corr_v, corr_n, mask,
+    # fetched_payload). Parity only — fixed mode's normals are per-point
+    # DATA (not a function of position), so they ride the sort instead.
     if parity:
-        vals = warped_verts if payload is None else jnp.concatenate(
-            [warped_verts, payload], axis=1)
         out, exact = knn.nn1_gather_xwindow(
-            live_verts, warped_verts,
-            None if payload is None else vals, warped_mask, live_mask,
+            live_verts, warped_verts, None, warped_mask, live_mask,
             rescue=rescue, escalate=escalate, window_blocks=window_blocks,
+            values_fn=payload,
         )
         # placeholder-normal quirk: normals ARE the vertices
         return out[:, :3], out[:, :3], live_mask & exact, out[:, 3:]
-    vals = jnp.concatenate(
-        [warped_verts, warped_normals] +
-        ([] if payload is None else [payload]), axis=1)
+    vals = jnp.concatenate([warped_verts, warped_normals], axis=1)
     out, exact = knn.nn1_gather_xwindow(
         live_verts, warped_verts, vals, warped_mask, live_mask,
         rescue=rescue, escalate=escalate, window_blocks=window_blocks,
@@ -199,21 +199,28 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # ONCE at the ~6x-smaller unique set and rides the correspondence
     # fetch to live indexing, replacing a full (N, D) k-NN inside the
     # solve. SE(3) mode keeps its own pass (its relinearization re-queries).
-    use_graph_fetch = not (dp.solver_rotations and not strict_parity)
+    use_graph_fetch = strict_parity
     payload = None
     if use_graph_fetch:
-        g_idx, _, g_pos, g_dq, g_w, g_valid = wfield.neighbor_features(
-            wf, wv, dp.knn)
-        g_dw = wfield.transformation_weights(g_pos, g_w, wv[:, None, :])
-        g_dw = jnp.where(g_valid, g_dw, 0.0)
-        # the solver's Tukey residual warps its (already-warped) input
-        # AGAIN — the reference hands the warped frame to CombinedSolver,
-        # whose updateTukeyBiweights re-runs calcDQB on it
-        # (opt_solver.cpp:204-231); same neighbor pass, one extra blend
-        g_blend = wfield._dqb_from_features(wv, g_pos, g_dq, g_w, g_valid)
-        wv2 = dq.dq_transform_point(g_blend, wv)
-        payload = jnp.concatenate(
-            [g_idx.astype(jnp.float32), g_dw, wv2], axis=1)  # (U, 2k+3)
+        def payload(pts_sorted, valid):  # noqa: F811 — values_fn closure
+            """Per-point data-graph columns for the solve, computed on
+            the SORTED warped positions (a pure function of position, so
+            it may run after the correspondence's internal sort — payload
+            cannot ride lax.sort, whose compile time explodes with
+            arity): [position(3) | knn idx(k) | Gaussian weights(k) |
+            re-warped position(3)]. The re-warp is the reference quirk —
+            CombinedSolver re-runs calcDQB on its already-warped input
+            for the Tukey residuals (opt_solver.cpp:204-231)."""
+            g_idx, _, g_pos, g_dq, g_w, g_valid = wfield.neighbor_features(
+                wf, pts_sorted, dp.knn)
+            g_dw = wfield.transformation_weights(
+                g_pos, g_w, pts_sorted[:, None, :])
+            g_dw = jnp.where(g_valid, g_dw, 0.0)
+            g_blend = wfield._dqb_from_features(
+                pts_sorted, g_pos, g_dq, g_w, g_valid)
+            wv2 = dq.dq_transform_point(g_blend, pts_sorted)
+            return jnp.concatenate(
+                [pts_sorted, g_idx.astype(jnp.float32), g_dw, wv2], axis=1)
 
     corr_v, corr_n, corr_m, fetched = _correspondence(
         wv, wn, canonical_m, live_v, live_m, strict_parity,
@@ -237,8 +244,10 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         )
     else:
         k = dp.knn
-        graph_w = (fetched[:, :k], fetched[:, k:2 * k],
-                   fetched[:, 2 * k:2 * k + 3])
+        graph_w = None
+        if use_graph_fetch:
+            graph_w = (fetched[:, :k], fetched[:, k:2 * k],
+                       fetched[:, 2 * k:2 * k + 3])
         wf, solve_stats = gn.solve(
             wf, corr_v, live_v, vert_mask=corr_m & live_m,
             graph_w=graph_w,

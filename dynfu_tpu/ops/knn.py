@@ -422,7 +422,7 @@ def _window_sweep(qs, ps, vs, lo_blk, pre, suf, block: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "window_blocks", "rescue", "escalate", "escalate_factor",
-    "presorted"))
+    "presorted", "values_fn"))
 def nn1_gather_xwindow(
     queries: jnp.ndarray,  # (Q, 3) — NEARLY x-sorted (e.g. marching-cubes
     #                         emission order); sortedness affects only how
@@ -437,6 +437,7 @@ def nn1_gather_xwindow(
     escalate: int = 0,
     escalate_factor: int = 4,
     presorted: bool = False,
+    values_fn=None,
 ):
     """Windowed 1-NN + fetch for near-coincident surfaces: (vals, exact).
 
@@ -510,6 +511,14 @@ def nn1_gather_xwindow(
     # few extra escalate-tier queries. Tie semantics: ties resolve to the
     # lowest index in ps order — with presorted that is the ORIGINAL point
     # order, which matches nanoflann's lowest-original-index pick.
+    # values_fn: payload computed AFTER the sort from the SORTED points —
+    # lax.sort's TPU compile time explodes with operand arity (measured:
+    # arity 3 @65k seconds-scale, arity 4 = 37 s, arity 22 = effectively
+    # hung), so per-point payload that is a pure function of the point
+    # POSITION must not ride the sort. values_fn(sorted_uncentered_points,
+    # sorted_valid) -> (P, F) raw payload; masked slots are zeroed (BIG
+    # coords would otherwise produce inf/NaN payload, and the one-hot
+    # fetch MATMUL sums 0*inf = NaN across the whole window).
     if presorted:
         ps = pts
         vs = ps if values is None else values
@@ -527,6 +536,13 @@ def nn1_gather_xwindow(
             vs = ps
         else:
             vs = jnp.stack(p_sorted[3:], axis=1)  # (P, F)
+    if values_fn is not None:
+        assert values is None, "pass values OR values_fn, not both"
+        valid_s = ps[:, 0] < 1e37
+        vs = values_fn(ps + center[None, :], valid_s)
+        vs = jnp.where(valid_s[:, None], vs, 0.0)
+        values = vs  # fetched payload semantics from here on
+        F = vs.shape[1]
 
     from dynfu_tpu.ops import corr_pallas
 
