@@ -370,3 +370,53 @@ def test_sharded_driver_fusion_mode(mesh):
     np.testing.assert_array_equal(np.asarray(wm_d), np.asarray(wm_r))
     np.testing.assert_allclose(np.asarray(wv_d), np.asarray(wv_r),
                                atol=1e-5, rtol=0)
+
+
+def test_shard_map_corr_sweep_matches(mesh):
+    """The tiered correspondence under shard_map (queries row-sharded,
+    points replicated — dist/shard_corr.py) matches the single-device
+    nn1_gather_xwindow output exactly when tier capacities don't bind."""
+    from dynfu_tpu.dist.shard_corr import nn1_xwindow_sharded
+    from dynfu_tpu.ops import knn
+
+    rng = np.random.RandomState(4)
+    P_, Q = 2048, 4096
+    x = np.sort(rng.rand(P_).astype(np.float32))
+    points = np.stack([x, rng.rand(P_).astype(np.float32),
+                       rng.rand(P_).astype(np.float32)], 1)
+    pmask = np.ones(P_, bool)
+    pmask[::11] = False
+    queries = (points[rng.randint(0, P_, Q)]
+               + 0.002 * rng.randn(Q, 3).astype(np.float32))
+    qmask = rng.rand(Q) < 0.95
+
+    ref_v, ref_e = knn.nn1_gather_xwindow(
+        jnp.asarray(queries), jnp.asarray(points), None, jnp.asarray(pmask),
+        jnp.asarray(qmask), escalate=2048, rescue=2048)
+    got_v, got_e = nn1_xwindow_sharded(
+        mesh, jnp.asarray(queries), jnp.asarray(points), jnp.asarray(pmask),
+        jnp.asarray(qmask), escalate=2048, rescue=2048)
+    np.testing.assert_array_equal(np.asarray(got_e), np.asarray(ref_e))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               atol=1e-6)
+
+
+def test_shard_map_gram_matches(mesh):
+    """The Gram assembly under shard_map (rows sharded, ONE psum —
+    dist/shard_gram.py) matches the dense single-device normal equations."""
+    from dynfu_tpu.dist.shard_gram import data_normal_sharded
+    from dynfu_tpu.solver.gn import _dense_data_normal
+
+    rng = np.random.RandomState(7)
+    N, K, D = 4096, 8, 128
+    data_idx = jnp.asarray(rng.randint(0, D, (N, K)), jnp.int32)
+    data_w = jnp.asarray(rng.rand(N, K).astype(np.float32))
+    s2 = jnp.asarray(rng.rand(N).astype(np.float32))
+    delta = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+
+    A_ref, b_ref = _dense_data_normal(None, data_idx, data_w, s2, delta, D)
+    A, b = data_normal_sharded(mesh, data_idx, data_w, s2, delta, D)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
+                               rtol=0, atol=2e-4 * float(jnp.max(jnp.abs(A_ref))))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
+                               rtol=0, atol=2e-4 * float(jnp.max(jnp.abs(b_ref))))
