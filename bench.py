@@ -41,12 +41,13 @@ def _wait_for_backend(retries: int = 10, delay_s: float = 30.0):
 
 
 def main() -> int:
-    from dynfu_tpu.utils.jaxcache import enable_compilation_cache
-
-    enable_compilation_cache()
     import os
 
     _wait_for_backend()
+    # after the backend probe: cache-dir selection reads the backend kind
+    from dynfu_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dynfu_tpu.utils.benchmarks import run_benchmark
 
     dims = int(os.environ.get("DYNFU_BENCH_DIMS", "512"))

@@ -131,10 +131,14 @@ class DynFuParams:
     # up to this many failures are re-swept with a 4x window (moving-edge
     # queries whose true NN sits a few cm away — farther than the base
     # window's x-margin — certify there at ~1/10 the base sweep's cost)
-    corr_window_blocks: int = 3  # base-sweep window width in 4096-point
+    corr_window_blocks: int = 1  # base-sweep window width in 4096-point
     # blocks. The sweep is VPU-bound and costs ~Q*W, so narrower windows
     # are faster; queries whose certificate fails in the narrow window
-    # (pole-cap x-slabs) escalate. Tuned against the 512-cube bench.
+    # (pole-cap x-slabs) escalate, stragglers hit the exact brute tier,
+    # and only failures beyond BOTH capacities drop (counted, asserted
+    # zero in the benchmarks). With the ~6x-deduplicated canonical a
+    # 4096-point window spans ~24 voxels of x at the 512-cube workload —
+    # measured zero drops there (74.5 ms frame vs 88 at width 3).
     corr_rescue: int = 4096  # exact brute-force third-tier capacity for
     # queries still failing after escalation (dense x-slab geometries,
     # e.g. sphere pole caps, defeat any single x-window); rescued queries
@@ -192,7 +196,7 @@ class DynFuParams:
         return DynFuParams()
 
     @staticmethod
-    def caps_for_volume(volume_dims: int) -> dict:
+    def caps_for_volume(volume_dims: int, fusion: bool = False) -> dict:
         """Documented capacity preset for a given cubic volume resolution.
 
         JAX programs have static shapes, so every buffer capacity is a real
@@ -213,12 +217,26 @@ class DynFuParams:
         """
         if volume_dims >= 384:
             # 512-cube bench scene occupies ~37k cells / ~225k soup verts;
-            # 1<<16 voxel cap leaves 1.8x headroom and halves MC pass-2
-            # cost (48.7 -> 33 ms measured; mc_dropped==0 is asserted by
-            # the benchmarks).
-            return dict(max_vertices=1 << 18, max_mc_voxels=49152,
+            # the 49152 cell cap leaves 1.33x headroom (MC pass-2 cost
+            # scales with the cap; mc_dropped==0 is asserted by the
+            # benchmarks). FUSION mode's persistent canonical volume
+            # accumulates surface across frames (never cleared) and needs
+            # the larger cell budget — its 512-cube run overflowed 49152.
+            #
+            # FUSION node_sample_step scales with the soup size so node
+            # DENSITY is resolution-independent (~eps spacing): the soup
+            # vertex count grows ~quadratically with resolution, and an
+            # over-dense node set (512-cube at stride 256 = 878 nodes,
+            # ~60 mm spacing under dg_w = 0.3) makes the 8-NN data weights
+            # near-equal — per-node cancellation modes go data-null, the
+            # 1/D reg cannot hold them, and the SE(3) solve EXPLODES
+            # (measured: warped error 8 m by frame 5; at stride 512 / 439
+            # nodes the same run is stable at 0.5 mm).
+            step = 512 if (fusion and volume_dims >= 448) else 256
+            return dict(max_vertices=1 << 18,
+                        max_mc_voxels=(1 << 16) if fusion else 49152,
                         max_nodes=1024, max_new_nodes=512,
-                        node_sample_step=256)
+                        node_sample_step=step)
         # correspondence failure-tier capacities also scale down with the
         # surface vertex count: the tiers run at full static capacity every
         # frame whether or not any query failed (escalate alone is ~2 ms at

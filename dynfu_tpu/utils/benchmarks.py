@@ -247,7 +247,7 @@ def run_fusion_benchmark(
     * warped_err_mm — median |warped surface - true live sphere| (tracking)
     """
     intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
-    caps = _caps_for(volume_dims)
+    caps = DynFuParams.caps_for_volume(volume_dims, fusion=True)
     params = DynFuParams(
         kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
                           volume_dims=(volume_dims,) * 3),

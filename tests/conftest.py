@@ -12,9 +12,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # this host class reports AMX/AVX512 features whose XLA:CPU codegen
+    # intermittently SIGSEGVs under suite-level load (cpu_aot_loader logs a
+    # machine-feature mismatch first); capping the ISA avoids those paths
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
