@@ -233,10 +233,18 @@ class DynFuParams:
             # (measured: warped error 8 m by frame 5; at stride 512 / 439
             # nodes the same run is stable at 0.5 mm).
             step = 512 if (fusion and volume_dims >= 448) else 256
-            return dict(max_vertices=1 << 18,
+            caps = dict(max_vertices=1 << 18,
                         max_mc_voxels=(1 << 16) if fusion else 49152,
                         max_nodes=1024, max_new_nodes=512,
                         node_sample_step=step)
+            if fusion:
+                # the persistent band grows as the warp sweeps new
+                # canonical voxels (measured 384k -> 488k over 8 moving
+                # frames at 512-cube); 1.5x the default capacity covers
+                # benchmark-length sequences, n_captured < n_band is the
+                # overflow signal
+                caps["fusion_max_active"] = (1 << 19) + (1 << 18)
+            return caps
         # correspondence failure-tier capacities also scale down with the
         # surface vertex count: the tiers run at full static capacity every
         # frame whether or not any query failed (escalate alone is ~2 ms at

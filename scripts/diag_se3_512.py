@@ -43,7 +43,7 @@ engine = DynFusion(params, mode="fusion")
 vol_t = np.asarray((-1.5, -1.5, 0.5))
 radius = 0.5
 
-for i in range(8):
+for i in range(16):
     d = sphere_depth((0.004 * i, 0.0, 1.5), radius, rows, cols,
                      525.0, 525.0, intr.cx, intr.cy)
     engine(d)
@@ -69,4 +69,5 @@ for i in range(8):
         line["final_cost"] = float(fs.solve.final_cost)
         line["mc_dropped"] = int(fs.mc_dropped)
         line["band"] = int(fs.band.n_band)
+        line["captured"] = int(fs.band.n_captured)
     print(line, flush=True)
