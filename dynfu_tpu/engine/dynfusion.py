@@ -147,14 +147,64 @@ def _correspondence(warped_verts, warped_normals, warped_mask, live_verts,
     return out[:, :3], out[:, 3:6], live_mask & exact, out[:, 6:]
 
 
+def _graph_payload(wf, dp):
+    """values_fn for the correspondence's post-sort payload fetch: per-point
+    data-graph columns for the solve, computed on the SORTED warped
+    positions (a pure function of position, so it may run after the
+    correspondence's internal sort — payload cannot ride lax.sort, whose
+    compile time explodes with arity): [position(3) | knn idx(k) | Gaussian
+    weights(k) | re-warped position(3)]. The re-warp is the reference
+    quirk — CombinedSolver re-runs calcDQB on its already-warped input for
+    the Tukey residuals (opt_solver.cpp:204-231).
+
+    Module-level (not a closure in `_nonrigid_frame`) so the kernel-path
+    sharded frame can rebuild it INSIDE its shard_map local body, where the
+    warp-field leaves arrive as explicit per-device arguments."""
+    def payload(pts_sorted, valid):
+        g_idx, _, g_pos, g_dq, g_w, g_valid = wfield.neighbor_features(
+            wf, pts_sorted, dp.knn)
+        g_dw = wfield.transformation_weights(
+            g_pos, g_w, pts_sorted[:, None, :])
+        g_dw = jnp.where(g_valid, g_dw, 0.0)
+        g_blend = wfield._dqb_from_features(
+            pts_sorted, g_pos, g_dq, g_w, g_valid)
+        wv2 = dq.dq_transform_point(g_blend, pts_sorted)
+        return jnp.concatenate(
+            [pts_sorted, g_idx.astype(jnp.float32), g_dw, wv2], axis=1)
+
+    return payload
+
+
+class ShardKernels(NamedTuple):
+    """Injectable kernel implementations for the multi-chip perf path
+    (dist/engine_spmd.sharded_engine_frame(kernel_path=True)): each field
+    replaces one hot stage of `_nonrigid_frame` with a shard_map section
+    running the fused Pallas kernel per device (GSPMD cannot partition a
+    pallas_call, so the default sharded trace pays the XLA formulations).
+    Any field may be None (that stage keeps the GSPMD formulation).
+
+    * warp_fn(wf, canonical_v, canonical_n) -> (wv, wn)
+    * corr_fn(live_v, warped_v, warped_mask, live_mask, wf)
+        -> (out (N, 3+F), exact (N,)) — parity mode with the graph-payload
+        fetch (values built per shard via `_graph_payload`)
+    * gram_fn(data_idx, data_w, s2, delta, D) -> (A, b) psum-reduced
+    """
+
+    warp_fn: object = None
+    corr_fn: object = None
+    gram_fn: object = None
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("dp", "intr", "config", "strict_parity", "integrate_mode"),
+    static_argnames=("dp", "intr", "config", "strict_parity",
+                     "integrate_mode", "kernels"),
 )
 def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
                     pose, *, dp, intr, config, strict_parity: bool,
                     integrate_mode: str = "separable",
-                    canonical_mult=None):
+                    canonical_mult=None,
+                    kernels: ShardKernels | None = None):
     """The ENTIRE frame-k non-rigid pipeline as one XLA program:
     dists -> clear+integrate -> marching cubes -> warp canonical -> 1-NN
     correspondence -> GN solve -> node insertion (dyn_fusion.cpp:100-144).
@@ -190,6 +240,8 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # against node positions (opt_solver.cpp:56-72), a different query set.
     if dp.solver_rotations and not strict_parity:
         wv, wn = wfield.warp_points_normals_dlb(wf, canonical_v, canonical_n)
+    elif kernels is not None and kernels.warp_fn is not None:
+        wv, wn = kernels.warp_fn(wf, canonical_v, canonical_n)
     else:
         wv, wn = wfield.warp_points_normals(wf, canonical_v, canonical_n)
 
@@ -200,33 +252,20 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # fetch to live indexing, replacing a full (N, D) k-NN inside the
     # solve. SE(3) mode keeps its own pass (its relinearization re-queries).
     use_graph_fetch = strict_parity
-    payload = None
-    if use_graph_fetch:
-        def payload(pts_sorted, valid):  # noqa: F811 — values_fn closure
-            """Per-point data-graph columns for the solve, computed on
-            the SORTED warped positions (a pure function of position, so
-            it may run after the correspondence's internal sort — payload
-            cannot ride lax.sort, whose compile time explodes with
-            arity): [position(3) | knn idx(k) | Gaussian weights(k) |
-            re-warped position(3)]. The re-warp is the reference quirk —
-            CombinedSolver re-runs calcDQB on its already-warped input
-            for the Tukey residuals (opt_solver.cpp:204-231)."""
-            g_idx, _, g_pos, g_dq, g_w, g_valid = wfield.neighbor_features(
-                wf, pts_sorted, dp.knn)
-            g_dw = wfield.transformation_weights(
-                g_pos, g_w, pts_sorted[:, None, :])
-            g_dw = jnp.where(g_valid, g_dw, 0.0)
-            g_blend = wfield._dqb_from_features(
-                pts_sorted, g_pos, g_dq, g_w, g_valid)
-            wv2 = dq.dq_transform_point(g_blend, pts_sorted)
-            return jnp.concatenate(
-                [pts_sorted, g_idx.astype(jnp.float32), g_dw, wv2], axis=1)
+    payload = _graph_payload(wf, dp) if use_graph_fetch else None
 
-    corr_v, corr_n, corr_m, fetched = _correspondence(
-        wv, wn, canonical_m, live_v, live_m, strict_parity,
-        rescue=dp.corr_rescue, escalate=dp.corr_escalate,
-        window_blocks=dp.corr_window_blocks, payload=payload,
-    )
+    if kernels is not None and kernels.corr_fn is not None and strict_parity:
+        # shard_map correspondence (the payload closure is rebuilt inside
+        # the per-device body from the explicitly-passed warp field)
+        out, exact = kernels.corr_fn(live_v, wv, canonical_m, live_m, wf)
+        corr_v, corr_n = out[:, :3], out[:, :3]  # placeholder-normal quirk
+        corr_m, fetched = live_m & exact, out[:, 3:]
+    else:
+        corr_v, corr_n, corr_m, fetched = _correspondence(
+            wv, wn, canonical_m, live_v, live_m, strict_parity,
+            rescue=dp.corr_rescue, escalate=dp.corr_escalate,
+            window_blocks=dp.corr_window_blocks, payload=payload,
+        )
 
     # full reference schedule (dyn_fusion.cpp:183-189): numIter=24 outer /
     # nonLinearIter=16 inner / linearIter=256, earlyOut. Non-parity modes
@@ -256,6 +295,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
             nonlinear_iter=dp.solver.nonlinear_iter,
             num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
+            data_normal_fn=kernels.gram_fn if kernels is not None else None,
         )
 
     # node insertion from the warped canonical frame (dyn_fusion.cpp:142)

@@ -45,6 +45,32 @@ def no_pallas():
             jax.clear_caches()
 
 
+@contextlib.contextmanager
+def force_pallas():
+    """Re-enable the Pallas dispatch inside an enclosing `no_pallas()`
+    scope (trace-time effect).
+
+    Used by the kernel-path sharded engine frame (dist/engine_spmd.py):
+    the GSPMD-traced stages need `no_pallas()` (the SPMD partitioner cannot
+    split a pallas_call), but the shard_map sections inside the same
+    program run per-device where the fused kernels ARE legal — each local
+    body re-enables the dispatch for its own trace. Same cache-boundary
+    contract as no_pallas (the flag is not part of inner jit cache keys)."""
+    global _disabled
+    import jax
+
+    prev = _disabled
+    if prev != 0:
+        jax.clear_caches()
+    _disabled = 0
+    try:
+        yield
+    finally:
+        _disabled = prev
+        if prev != 0:
+            jax.clear_caches()
+
+
 def pallas_enabled() -> bool:
     """True when Pallas kernels may be used: TPU backend, not disabled by
     env or an enclosing no_pallas() scope."""

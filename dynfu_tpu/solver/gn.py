@@ -146,7 +146,7 @@ def build_graphs(wf: wfield.WarpField, canonical_v, knn_k: int = wfield.KNN):
     static_argnames=(
         "tukey_offset", "psi_data", "lambda_reg", "psi_reg",
         "linear_iter", "cg_tol", "knn_k", "nonlinear_iter",
-        "num_iter", "early_out", "min_update",
+        "num_iter", "early_out", "min_update", "data_normal_fn",
     ),
 )
 def solve(
@@ -168,6 +168,7 @@ def solve(
     num_iter: int = 24,
     early_out: bool = True,
     min_update: float = 0.0,
+    data_normal_fn=None,
 ):
     """One warp solve: returns (updated WarpField, SolveStats).
 
@@ -298,7 +299,12 @@ def solve(
     def assemble_and_solve(s2_k, t_init):
         from dynfu_tpu.solver import gram_pallas
 
-        if gram_pallas.available():
+        if data_normal_fn is not None:
+            # injected assembly — the multi-chip kernel path passes the
+            # shard_map Gram section here (per-device fused kernel over the
+            # row-sharded data rows + one psum; dist/shard_gram.py)
+            A_data, b = data_normal_fn(data_idx, data_w, s2_k, delta, D)
+        elif gram_pallas.available():
             # fused VMEM assembly (no HBM one-hot strips) on TPU
             A_data, b = gram_pallas.data_normal_tpu(
                 data_idx, data_w, s2_k, delta, D)

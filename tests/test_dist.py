@@ -154,6 +154,64 @@ def test_sharded_engine_frame_matches(mesh):
     assert int(got[9].mc_dropped) == int(ref[9].mc_dropped) == 0
 
 
+def test_sharded_engine_frame_kernel_path_matches(mesh):
+    """kernel_path=True: the SAME engine frame with the three hottest
+    vertex stages routed through their shard_map Pallas sections
+    (dist/engine_spmd._kernel_path — fused warp kernel per device, tiered
+    correspondence per query shard, Gram assembly + one psum) instead of
+    the GSPMD XLA formulations. On the CPU mesh warp/Gram run the real
+    kernels in interpret mode; the result must match both the plain
+    sharded frame and the single-chip frame."""
+
+    from dynfu_tpu.dist.engine_spmd import (place_engine_state,
+                                            sharded_engine_frame)
+    from dynfu_tpu.engine.dynfusion import DynFusion, _nonrigid_frame
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+
+    rows, cols = 120, 160
+    intr = Intr(131.25, 131.25, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(64, 64, 64)),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64,
+    )
+    engine = DynFusion(params)
+    d0 = sphere_depth((0.0, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    d1 = sphere_depth((0.01, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    engine(d0)
+
+    dp, cfg = engine.dynfu_params, engine.tsdf_config
+    c, pose = engine.canonical, engine.poses[-1]
+    args = (engine.vol, engine.warpfield, c.vertices, c.normals, c.mask,
+            jnp.asarray(d1, jnp.int32), pose)
+
+    ref = _nonrigid_frame(*args, dp=dp, intr=intr, config=cfg,
+                          strict_parity=True, integrate_mode="separable")
+
+    step = sharded_engine_frame(mesh, dp, intr, cfg, strict_parity=True,
+                                kernel_path=True)
+    got = step(*place_engine_state(mesh, *args))
+
+    # volume stages identical (they stay on the GSPMD path)
+    assert int(got[8]) == int(ref[8]) > 0  # n_verts
+    np.testing.assert_allclose(np.asarray(got[7]), np.asarray(ref[7]),
+                               atol=1e-6)  # MC triangle soup
+    # warped canonical through the interpret-mode fused kernel
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               atol=1e-4)
+    # solved node state through shard_map corr + psum'd Gram assembly
+    np.testing.assert_allclose(np.asarray(got[1].dqs),
+                               np.asarray(ref[1].dqs), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got[1].mask),
+                                  np.asarray(ref[1].mask))
+    assert int(got[9].mc_dropped) == int(ref[9].mc_dropped) == 0
+    assert int(got[9].corr_dropped) == int(ref[9].corr_dropped) == 0
+
+
 def test_sharded_fusion_frame_runs(mesh):
     """The persistent-canonical fusion frame (projective correspondence +
     warped-back band integration) also executes under the mesh and matches
