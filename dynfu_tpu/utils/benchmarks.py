@@ -225,6 +225,9 @@ def run_benchmark(
         "mc_dropped_cells": mc_dropped,
         "corr_dropped": corr_dropped,
         "window_frame_ms": [round(d * 1e3, 1) for d in dts],
+        # median-of-windows alongside best-of-windows: harder to game, and
+        # the gap between the two IS the tunnel-noise estimate
+        "median_window_fps": round(1.0 / sorted(dts)[len(dts) // 2], 3),
     }
 
 
