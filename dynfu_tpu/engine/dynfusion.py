@@ -40,7 +40,7 @@ from dynfu_tpu.core import dualquat as dq
 from dynfu_tpu.core import se3
 from dynfu_tpu.engine.kinfu import KinFu
 from dynfu_tpu.engine.params import DynFuParams
-from dynfu_tpu.mesh import marching_cubes
+from dynfu_tpu.mesh import edges, marching_cubes
 from dynfu_tpu.ops import imgproc, knn
 from dynfu_tpu.solver import gn
 from dynfu_tpu.solver import se3 as se3_solver
@@ -223,12 +223,22 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     else:
         vol = tv.integrate(tv.clear(vol), dists, pose, intr, config)
 
-    mesh_verts, n_verts, mc_dropped = marching_cubes(
-        vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
-        col_budget=dp.mc_col_budget,
-    )
-    live_m = jnp.arange(mesh_verts.shape[0]) < n_verts
-    live_v = mesh_verts
+    if dp.corr_unique_edges and strict_parity:
+        # unique-vertex extraction (mesh/edges.py): correspondence + solve
+        # consume the vertex SET; the triangle soup is extracted on demand
+        # by DynFusion.mesh() from the retained volume
+        live_v, n_verts, mc_dropped = edges.isosurface_edge_vertices(
+            vol, config,
+            max_edges=dp.max_edge_verts or dp.max_vertices // 2,
+            col_budget=dp.mc_col_budget)
+        mesh_verts = live_v
+    else:
+        mesh_verts, n_verts, mc_dropped = marching_cubes(
+            vol, config, max_voxels=dp.max_mc_voxels,
+            max_verts=dp.max_vertices, col_budget=dp.mc_col_budget,
+        )
+        live_v = mesh_verts
+    live_m = jnp.arange(live_v.shape[0]) < n_verts
     if strict_parity:
         live_n = live_v  # placeholder-normal quirk (dyn_fusion.cpp:126-134)
     else:
@@ -438,7 +448,8 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         vol, wf, dists, pose, intr, config,
         normals=live_ns, min_cos=dp.fusion_min_cos,
         max_active=dp.fusion_max_active, dilate=dp.fusion_dilate,
-        knn_k=dp.knn, col_budget=dp.mc_col_budget,
+        knn_k=dp.knn,
+        col_budget=dp.fusion_col_budget or dp.mc_col_budget,
         blend="dlb" if dp.solver_rotations else "dqb",
     )
 
@@ -745,7 +756,13 @@ class DynFusion(KinFu):
         )
         self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
         self.live = Frame(self.frame_counter, live_v, live_n, live_m)
-        self.mesh_vertices = (mesh_verts, n_verts)
+        if dp.corr_unique_edges and self.strict_parity:
+            # the frame program extracted unique vertices only; the
+            # triangle soup is available on demand from the retained
+            # volume (mesh())
+            self.mesh_vertices = None
+        else:
+            self.mesh_vertices = (mesh_verts, n_verts)
         self.last_solve_stats = self.last_frame_stats.solve
 
         if not self.strict_parity:
@@ -786,5 +803,16 @@ class DynFusion(KinFu):
         return f.vertices, f.mask
 
     def mesh(self):
-        """Last extracted triangle soup (verts buffer, count)."""
+        """Last extracted triangle soup (verts buffer, count).
+
+        With `corr_unique_edges` the per-frame program extracts unique
+        vertices only; the soup is produced here on demand by running
+        marching cubes on the retained live volume — same output as the
+        always-emitting path, off the per-frame critical path."""
+        if self.mesh_vertices is None:
+            dp = self.dynfu_params
+            v, n, _ = marching_cubes(
+                self.vol, self.tsdf_config, max_voxels=dp.max_mc_voxels,
+                max_verts=dp.max_vertices, col_budget=dp.mc_col_budget)
+            self.mesh_vertices = (v, n)
         return self.mesh_vertices

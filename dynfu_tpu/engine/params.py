@@ -143,6 +143,15 @@ class DynFuParams:
     # queries still failing after escalation (dense x-slab geometries,
     # e.g. sphere pole caps, defeat any single x-window); rescued queries
     # get their exact 1-NN, the remainder counts in FrameStats.corr_dropped
+    corr_unique_edges: bool = False  # parity-mode live vertices from the
+    # zero-crossing edge extraction (mesh/edges.py) instead of the MC
+    # triangle soup: the unique vertex SET (~5x smaller at 512-cube) feeds
+    # correspondence + solve, and triangle emission moves off the per-frame
+    # critical path (DynFusion.mesh() extracts the soup on demand).
+    # Deviation: the solve sees each unique vertex once instead of
+    # soup-multiplicity times (see mesh/edges.py docstring). Default on
+    # for >=384-cube caps, off at the reference's own 128-cube config.
+    max_edge_verts: int = 0  # unique-vertex capacity (0 = max_vertices // 2)
 
     # fusion mode (mode="fusion": persistent canonical volume with
     # warped-back integration — the fusion model of Newcombe et al. §3.3
@@ -150,6 +159,16 @@ class DynFuParams:
     # dyn_fusion.cpp:107-116)
     fusion_corr_dist: float = 0.10  # projective-association gate (meters)
     fusion_max_active: int = 1 << 19  # active-band compaction capacity
+    fusion_col_budget: int = 0  # per-z-column band capture budget for the
+    # warped-back integration (0 = fall back to mc_col_budget, then to the
+    # truncation-band auto estimate). The auto estimate covers two
+    # perpendicular surface crossings; sphere-TANGENT z-columns run a chord
+    # through the band (~60 cells at 512-cube) and the ACCUMULATED warp
+    # thickens it further, so long fusion sequences silently truncate the
+    # capture (n_captured < n_band) and the canonical decays where it is
+    # updated least — measured: SE(3) 512-cube warped error drifts
+    # 0.55 -> 1.23 mm over frames 8-15 exactly as the shortfall grows.
+    # caps_for_volume(fusion=True) sizes this to the workload.
     fusion_dilate: int = 2  # band growth margin (voxels)
     fusion_min_cos: float = 0.25  # reject grazing observations (view-ray
     # vs live-normal cosine) — projective-SDF junk otherwise accumulates
@@ -237,6 +256,12 @@ class DynFuParams:
                         max_mc_voxels=(1 << 16) if fusion else 49152,
                         max_nodes=1024, max_new_nodes=512,
                         node_sample_step=step)
+            if not fusion:
+                # parity-mode hot path consumes unique vertices (~45k at
+                # the 512-cube bench scene, mesh/edges.py) — capacity with
+                # ~1.4x headroom; overflow surfaces in mc_dropped
+                caps["corr_unique_edges"] = True
+                caps["max_edge_verts"] = 1 << 16
             if fusion:
                 # the persistent band grows as the warp sweeps new
                 # canonical voxels (measured 384k -> 488k over 8 moving

@@ -5,7 +5,7 @@ exclusive-cumsum offset in the output stream. XLA lowers that as a
 row-scatter whose cost scales with ROW COUNT at this chip's ~0.25 GB/s
 effective scatter rate (13.3 ms for the 512-cube workload's 5*M rows;
 windowed scatter-add and sort-as-scatter measured no better —
-scripts/ubench_mc2.py). This kernel exploits what the scatter cannot: the
+scripts/diag/ubench_mc2.py). This kernel exploits what the scatter cannot: the
 offsets are MONOTONE, so each chunk of C consecutive cells owns one
 CONTIGUOUS output range [offs[c0], offs[c0] + len):
 

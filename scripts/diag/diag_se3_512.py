@@ -52,6 +52,11 @@ for i in range(16):
     center = np.asarray((0.004 * i, 0.0, 1.5)) - vol_t
     werr = float(np.median(np.abs(np.linalg.norm(v - center, axis=-1)
                                   - radius))) * 1e3
+    cv = np.asarray(engine.canonical.vertices)[np.asarray(
+        engine.canonical.mask)]
+    ccenter = np.asarray((0.0, 0.0, 1.5)) - vol_t
+    cerr = float(np.median(np.abs(np.linalg.norm(cv - ccenter, axis=-1)
+                                  - radius))) * 1e3
     wf = engine.warpfield
     dqs = np.asarray(wf.dqs)[np.asarray(wf.mask)]
     # translation part of each node DQ: t = 2 * dual * conj(real)
@@ -60,6 +65,7 @@ for i in range(16):
     line = {
         "frame": i,
         "warped_err_mm": round(werr, 3),
+        "canonical_err_mm": round(cerr, 3),
         "nodes": int(wf.count),
         "t_dual_max": round(float(tmag.max()), 4) if len(tmag) else 0,
         "t_dual_med": round(float(np.median(tmag)), 4) if len(tmag) else 0,

@@ -1,0 +1,106 @@
+"""Unique isosurface vertex extraction (mesh/edges.py).
+
+The extracted edge-vertex set must equal unique(marching-cubes soup
+positions) exactly — same occupancy rule, same interpolation
+(marching_cubes.cu:37-77, 197-204) — and the engine's unique-vertex
+correspondence path (DynFuParams.corr_unique_edges) must track like the
+soup path."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynfu_tpu.core.camera import Intr
+from dynfu_tpu.engine.dynfusion import DynFusion
+from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+from dynfu_tpu.io.datasets import sphere_depth
+from dynfu_tpu.mesh.edges import isosurface_edge_vertices
+from dynfu_tpu.mesh.mc import marching_cubes
+from dynfu_tpu.ops import imgproc
+from dynfu_tpu.volume import tsdf as tv
+
+ROWS, COLS = 120, 160
+INTR = Intr(131.25, 131.25, COLS / 2 - 0.5, ROWS / 2 - 0.5)
+
+
+def _integrated_volume(depth, dims=64):
+    cfg = tv.TsdfConfig(dims=(dims,) * 3, z_chunk=32)
+    vol = tv.TsdfVolume(jnp.zeros((dims,) * 3, jnp.float16),
+                        jnp.zeros((dims,) * 3, jnp.uint8),
+                        jnp.eye(3), jnp.asarray([-1.5, -1.5, 0.5]))
+    dists = imgproc.compute_dists(jnp.asarray(depth, jnp.int32), INTR)
+    vol = tv.integrate_separable(vol, dists, (jnp.eye(3), jnp.zeros(3)),
+                                 INTR, cfg, fresh=True)
+    return vol, cfg
+
+
+def _unique_rows(a):
+    return np.unique(np.asarray(a).round(decimals=6), axis=0)
+
+
+def test_edge_vertices_equal_unique_soup_sphere():
+    d = sphere_depth((0.0, 0.0, 1.5), 0.5, ROWS, COLS,
+                     INTR.fx, INTR.fy, INTR.cx, INTR.cy)
+    vol, cfg = _integrated_volume(d)
+    soup, n, drop = marching_cubes(vol, cfg, max_voxels=1 << 13,
+                                   max_verts=1 << 15)
+    ev, ne, edrop = isosurface_edge_vertices(vol, cfg, max_edges=1 << 14)
+    assert int(drop) == 0 and int(edrop) == 0
+    uniq_soup = _unique_rows(np.asarray(soup)[:int(n)])
+    ev_np = np.asarray(ev)[:int(ne)]
+    # every extracted vertex is unique already (one per edge)
+    assert len(_unique_rows(ev_np)) == int(ne)
+    np.testing.assert_allclose(uniq_soup, _unique_rows(ev_np), atol=1e-6)
+
+
+def test_edge_vertices_equal_unique_soup_scene():
+    # multi-object scene with occlusion boundaries (partial-weight cells)
+    ds = []
+    for c, r in [((0.0, 0.0, 1.5), 0.45), ((0.45, 0.3, 1.3), 0.2),
+                 ((-0.4, -0.3, 1.7), 0.25)]:
+        d = sphere_depth(c, r, ROWS, COLS, INTR.fx, INTR.fy, INTR.cx,
+                         INTR.cy)
+        ds.append(np.where(d == 0, np.iinfo(np.int32).max, d))
+    d = np.stack(ds).min(axis=0)
+    d = np.where(d == np.iinfo(np.int32).max, 0, d).astype(np.int32)
+    vol, cfg = _integrated_volume(d)
+    soup, n, drop = marching_cubes(vol, cfg, max_voxels=1 << 13,
+                                   max_verts=1 << 15)
+    ev, ne, edrop = isosurface_edge_vertices(vol, cfg, max_edges=1 << 14)
+    assert int(drop) == 0 and int(edrop) == 0
+    uniq_soup = _unique_rows(np.asarray(soup)[:int(n)])
+    np.testing.assert_allclose(uniq_soup,
+                               _unique_rows(np.asarray(ev)[:int(ne)]),
+                               atol=1e-6)
+
+
+def test_engine_unique_edges_tracks_like_soup():
+    base = DynFuParams(
+        kinfu=KinFuParams(rows=ROWS, cols=COLS, intr=INTR,
+                          volume_dims=(64,) * 3),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64)
+    errs = {}
+    for tag, p in [("soup", base),
+                   ("edges", dataclasses.replace(
+                       base, corr_unique_edges=True,
+                       max_edge_verts=1 << 12))]:
+        eng = DynFusion(p)
+        for i in range(5):
+            d = sphere_depth((0.004 * i, 0.0, 1.5), 0.5, ROWS, COLS,
+                             INTR.fx, INTR.fy, INTR.cx, INTR.cy)
+            eng(d)
+        wv, wm = eng.warped_cloud()
+        v = np.asarray(wv)[np.asarray(wm)]
+        center = np.asarray((0.004 * 4, 0.0, 1.5)) - np.asarray(
+            (-1.5, -1.5, 0.5))
+        errs[tag] = np.median(np.abs(
+            np.linalg.norm(v - center, axis=-1) - 0.5)) * 1e3
+        fs = eng.last_frame_stats
+        assert int(fs.corr_dropped) == 0 and int(fs.mc_dropped) == 0
+        # lazy soup extraction matches the always-emitting path's count
+        mv, mn = eng.mesh()
+        assert int(mn) > 0
+    # same tracking quality (the weighting deviation is sub-voxel-floor)
+    assert abs(errs["edges"] - errs["soup"]) < 1.0, errs
