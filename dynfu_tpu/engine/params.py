@@ -257,18 +257,26 @@ class DynFuParams:
                         max_nodes=1024, max_new_nodes=512,
                         node_sample_step=step)
             if not fusion:
-                # parity-mode hot path consumes unique vertices (~45k at
-                # the 512-cube bench scene, mesh/edges.py) — capacity with
-                # ~1.4x headroom; overflow surfaces in mc_dropped
+                # parity-mode hot path consumes unique vertices (measured
+                # 34,626 at the 512-cube bench scene vs 224,958 soup,
+                # mesh/edges.py) — 49152 = 1.4x headroom, the same
+                # convention as the MC cell cap; overflow surfaces in
+                # mc_dropped (asserted zero by the benchmarks)
                 caps["corr_unique_edges"] = True
-                caps["max_edge_verts"] = 1 << 16
+                caps["max_edge_verts"] = 49152
             if fusion:
                 # the persistent band grows as the warp sweeps new
-                # canonical voxels (measured 384k -> 488k over 8 moving
+                # canonical voxels (measured 384k -> 565k over 15 moving
                 # frames at 512-cube); 1.5x the default capacity covers
                 # benchmark-length sequences, n_captured < n_band is the
                 # overflow signal
                 caps["fusion_max_active"] = (1 << 19) + (1 << 18)
+                # sphere-TANGENT z-columns chord through the band (~60
+                # cells) and the accumulated warp thickens it: the
+                # truncation-band auto estimate silently truncated capture
+                # from frame 5 (r4 diag; canonical decays where updated
+                # least). 128 holds captured == n_band through 16 frames.
+                caps["fusion_col_budget"] = 128
             return caps
         # correspondence failure-tier capacities also scale down with the
         # surface vertex count: the tiers run at full static capacity every

@@ -134,9 +134,13 @@ def isosurface_edge_vertices(
         config.trunc_dist / config.voxel_size[2]))))
     K = min(K, Z)
     fill = X * Y * 3 * Z
+    # active edge COLUMNS ~ 3x the active cell columns (one per axis), so
+    # the column capacity scales with 2x the edge capacity (measured: the
+    # 512-cube bench scene has ~69k active edge columns for ~35k edges —
+    # max_edges//2 dropped 3947 edges)
     flat_idx, n_total, n_captured = compaction.extract_columns(
         allw, per_column=K,
-        max_cols=min(X * Y * 3, max(max_edges // 2, 1 << 15)),
+        max_cols=min(X * Y * 3, max(2 * max_edges, 1 << 15)),
         max_out=max_edges, row_stride=Z, fill=fill)
     ok = flat_idx < fill
     safe = jnp.where(ok, flat_idx, 0)
@@ -147,27 +151,23 @@ def isosurface_edge_vertices(
     j = r // 3
     a = r - j * 3
 
-    # endpoint values from the bit-packed (F[z], F[z+1]) pair (one gather
-    # covers both ends of a z-edge; x/y edges take the low half of a second
-    # gather at the +1 neighbor)
-    nxt = jnp.concatenate([Fh[:, :, 1:], Fh[:, :, :1]], axis=2)
-    zpair = jax.lax.bitcast_convert_type(
-        jnp.stack([Fh, nxt], axis=-1), jnp.uint32)  # (X, Y, Z)
+    # endpoint values: exactly two element gathers per edge (f0 at the
+    # anchor, f1 at the +1 neighbor along the edge axis — unlike marching
+    # cubes' 8 corners there is nothing to save by materializing a packed
+    # (F[z], F[z+1]) volume, which costs a full 4-byte-per-voxel HBM write)
     dxa = (a == 0).astype(jnp.int32)
     dya = (a == 1).astype(jnp.int32)
-    g0 = zpair[i, j, z]
-    g1 = zpair[jnp.minimum(i + dxa, X - 1), jnp.minimum(j + dya, Y - 1), z]
-    b0 = jax.lax.bitcast_convert_type(g0, jnp.float16)  # (N, 2)
-    b1 = jax.lax.bitcast_convert_type(g1, jnp.float16)
-    f0 = b0[:, 0].astype(jnp.float32)
-    f1 = jnp.where(a == 2, b0[:, 1], b1[:, 0]).astype(jnp.float32)
+    dza = (a == 2).astype(jnp.int32)
+    f0 = Fh[i, j, z].astype(jnp.float32)
+    f1 = Fh[jnp.minimum(i + dxa, X - 1), jnp.minimum(j + dya, Y - 1),
+            jnp.minimum(z + dza, Z - 1)].astype(jnp.float32)
 
     shift = 0.5 if convention == "center" else 0.0
     p0 = (jnp.stack([i, j, z], axis=-1).astype(jnp.float32) + shift) \
         * vs[None, :]
     axis_dir = jnp.stack([dxa.astype(jnp.float32),
                           dya.astype(jnp.float32),
-                          (a == 2).astype(jnp.float32)], axis=-1) \
+                          dza.astype(jnp.float32)], axis=-1) \
         * vs[None, :]
     t = (0.0 - f0) / (f1 - f0 + 1e-15)  # vertex_interp, mc.cu:197-204
     verts = jnp.where(ok[:, None], p0 + t[:, None] * axis_dir, 0.0)

@@ -274,18 +274,31 @@ def run_fusion_benchmark(
         wv, _ = engine.warped_cloud()
         sync(wv)
 
-    t0 = time.perf_counter()
-    for i in range(warmup, warmup + frames):
-        engine(_frames[i])
-    wv, _ = engine.warped_cloud()
-    sync(wv)
-    dt = (time.perf_counter() - t0) / frames
-    fps = 1.0 / dt
-
     def _median_err(verts, mask, center):
         v = np.asarray(verts)[np.asarray(mask)]
         return float(np.median(
             np.abs(np.linalg.norm(v - center, axis=-1) - radius))) * 1e3
+
+    # error-vs-accumulated-motion is first-class (drift grows with total
+    # deformation — r4 diag: 0.51 mm at 16 mm of motion, ~1.2 mm at
+    # 56 mm): record the mid-sequence figure alongside the final one
+    half = warmup + frames // 2
+    t0 = time.perf_counter()
+    for i in range(warmup, half):
+        engine(_frames[i])
+    wv, _ = engine.warped_cloud()
+    sync(wv)
+    warped_err_half_mm = _median_err(
+        *engine.warped_cloud(),
+        np.asarray((0.004 * (half - 1), 0.0, 1.5)) - vol_t)
+    for i in range(half, warmup + frames):
+        engine(_frames[i])
+    wv, _ = engine.warped_cloud()
+    sync(wv)
+    # the mid-sequence sync adds one ~28 ms tunnel round-trip to the
+    # timed span — noise at fusion-mode frame times
+    dt = (time.perf_counter() - t0) / frames
+    fps = 1.0 / dt
 
     last = warmup + frames - 1
     warped_err_mm = _median_err(
@@ -308,9 +321,90 @@ def run_fusion_benchmark(
         "frame_ms": round(dt * 1e3, 1),
         "canonical_err_mm": round(canonical_err_mm, 3),
         "warped_err_mm": round(warped_err_mm, 3),
+        "warped_err_half_motion_mm": round(warped_err_half_mm, 3),
+        "motion_mm": round(0.004 * last * 1e3, 1),
         "n_band": int(fs.band.n_band),
         "corr_dropped": int(fs.corr_dropped),
     }
+
+
+def run_umbrella_benchmark(
+    volume_dims: int = 512,
+    frames: int = 8,
+    mode: str = "parity",
+    rows: int = 480,
+    cols: int = 640,
+    seq_frames: int = 16,
+) -> dict:
+    """Accuracy + throughput on the vendored umbrella sequence
+    (io/kinect_sim.py): a genuinely non-rigid scene (breathing scalloped
+    canopy + nodding handle + wall/floor) with EXACT ground-truth geometry
+    (`render_umbrella` gives the clean z-depth at any phase), so accuracy
+    is not sphere-only (VERDICT r3 #8).
+
+    Metric: visible-surface depth error — the warped canonical cloud is
+    projected into the live camera; per pixel the NEAREST projected vertex
+    depth is compared against the clean (noise-free) render. The input
+    depth the engine saw carries the full Kinect-v1 sensor model
+    (disparity quantization ~13 mm at the 2.15 m wall, occlusion shadows,
+    grazing dropout), so this also measures how much sensor noise the
+    pipeline averages away."""
+    import dataclasses
+
+    from dynfu_tpu.io import kinect_sim
+
+    intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
+    fusion = mode == "fusion"
+    caps = DynFuParams.caps_for_volume(volume_dims, fusion=fusion)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(volume_dims,) * 3),
+        **caps,
+    )
+    if fusion:
+        params = dataclasses.replace(params, solver_rotations=True)
+    engine = DynFusion(params, mode=mode)
+
+    _frames = [kinect_sim.umbrella_frame(i, frames=seq_frames, h=rows,
+                                         w=cols)
+               for i in range(frames)]
+    engine(_frames[0])
+    wv, _ = engine.warped_cloud()
+    sync(wv)
+    t0 = time.perf_counter()
+    for i in range(1, frames):
+        engine(_frames[i])
+    wv, wm = engine.warped_cloud()
+    sync(wv)
+    dt = (time.perf_counter() - t0) / (frames - 1)
+
+    # visible-surface depth error vs the exact geometry at the live phase
+    z_clean = kinect_sim.render_umbrella((frames - 1) / seq_frames,
+                                         h=rows, w=cols)
+    v = np.asarray(wv)[np.asarray(wm)]
+    vol_t = np.asarray(engine.vol.pose_t)
+    cam = v + vol_t
+    z = cam[:, 2]
+    u = np.round(intr.fx * cam[:, 0] / z + intr.cx).astype(int)
+    vv = np.round(intr.fy * cam[:, 1] / z + intr.cy).astype(int)
+    inb = (u >= 0) & (u < cols) & (vv >= 0) & (vv < rows) & (z > 0.1)
+    zmin = np.full((rows, cols), np.inf)
+    np.minimum.at(zmin, (vv[inb], u[inb]), z[inb])
+    got = np.isfinite(zmin) & np.isfinite(z_clean)
+    err_mm = np.abs(zmin[got] - z_clean[got]) * 1e3
+    fs = engine.last_frame_stats
+    out = {
+        "metric": f"umbrella_{mode}_{volume_dims}cube",
+        "value": round(1.0 / dt, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(1.0 / dt / TARGET_FPS, 4),
+        "frame_ms": round(dt * 1e3, 1),
+        "median_visible_err_mm": round(float(np.median(err_mm)), 3),
+        "p90_visible_err_mm": round(float(np.percentile(err_mm, 90)), 3),
+        "coverage_px": int(got.sum()),
+        "mc_dropped": int(fs.mc_dropped),
+    }
+    return out
 
 
 def run_stage_benchmark(
@@ -382,8 +476,24 @@ def run_stage_benchmark(
     dists = clock("preprocess_dists", lambda: imgproc.compute_dists(depth, intr))
     vol2 = clock("clear_integrate", lambda: tv.integrate_separable(
         vol, dists, pose, intr, config, fresh=True))
-    verts, n_verts, _ = clock("marching_cubes", lambda: marching_cubes(
-        vol2, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices))
+    if dp.corr_unique_edges:
+        # the hot path consumes unique edge vertices (mesh/edges.py);
+        # triangle-soup MC is off the per-frame critical path but still
+        # timed for the on-demand mesh() cost
+        from dynfu_tpu.mesh.edges import isosurface_edge_vertices
+
+        verts, n_verts, _ = clock(
+            "edge_vertices", lambda: isosurface_edge_vertices(
+                vol2, config,
+                max_edges=dp.max_edge_verts or dp.max_vertices // 2,
+                col_budget=dp.mc_col_budget))
+        clock("marching_cubes_on_demand", lambda: marching_cubes(
+            vol2, config, max_voxels=dp.max_mc_voxels,
+            max_verts=dp.max_vertices))
+    else:
+        verts, n_verts, _ = clock("marching_cubes", lambda: marching_cubes(
+            vol2, config, max_voxels=dp.max_mc_voxels,
+            max_verts=dp.max_vertices))
     live_m = jnp.arange(verts.shape[0]) < n_verts
     wv, wn = clock("warp_canonical", lambda: wfield.warp_points_normals(
         wf, c.vertices, c.normals))

@@ -29,7 +29,7 @@ def run(tag, fn):
 def main():
     from dynfu_tpu.utils.benchmarks import (
         run_benchmark, run_fusion_benchmark, run_rigid_benchmark,
-        run_stage_benchmark)
+        run_stage_benchmark, run_umbrella_benchmark)
 
     run("stage_512", lambda: run_stage_benchmark(volume_dims=512))
     run("nonrigid_128", lambda: run_benchmark(volume_dims=128))
@@ -39,6 +39,7 @@ def main():
         run("fusion_512", lambda: run_fusion_benchmark(volume_dims=512))
         run("fusion_512_se3", lambda: run_fusion_benchmark(
             volume_dims=512, rotations=True))
+        run("umbrella_512", lambda: run_umbrella_benchmark(volume_dims=512))
 
 
 if __name__ == "__main__":

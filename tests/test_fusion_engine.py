@@ -209,3 +209,34 @@ def test_fusion_camera_tracking_static_is_stable():
     cerr0 = np.median(surface_error(cv0, cm0, np.asarray(CENTER) - VOL_T,
                                     RADIUS))
     assert cerr < cerr0 + 0.002, (cerr, cerr0)
+
+
+def test_fusion_512_caps_pin_stability_fixes():
+    """Pin the 512-cube SE(3)-fusion stabilization knobs (r3 commit
+    aebe61e + r4 band-capture fix). These values were established by TPU
+    measurement and their failure modes are catastrophic, so the preset is
+    a regression surface:
+
+    * resolution-independent node DENSITY: fusion node stride scales with
+      the soup size (stride 256 at 512-cube = 878 nodes whose near-equal
+      8-NN weights leave per-node cancellation modes data-null — the SE(3)
+      solve explodes to ~8 m warped error by frame 5; stride 512 / 439
+      nodes is stable at 0.5 mm);
+    * fusion band column budget 128: the truncation-band auto estimate
+      silently truncates capture on sphere-tangent z-columns from frame 5
+      (n_captured < n_band; the canonical decays where updated least —
+      r4 per-frame diag, scripts/diag/diag_se3_512.py);
+    * band capacity 1.5x (grows 384k -> 565k over 15 moving frames).
+    """
+    from dynfu_tpu.engine.params import DynFuParams
+
+    caps = DynFuParams.caps_for_volume(512, fusion=True)
+    assert caps["node_sample_step"] == 512
+    assert caps["fusion_col_budget"] == 128
+    assert caps["fusion_max_active"] == (1 << 19) + (1 << 18)
+    assert DynFuParams.caps_for_volume(448, fusion=True)[
+        "node_sample_step"] == 512
+    # parity-mode 512 presets: stride-256 deviation + unique-edge hot path
+    p = DynFuParams.caps_for_volume(512)
+    assert p["node_sample_step"] == 256
+    assert p["corr_unique_edges"] and p["max_edge_verts"] == 49152
