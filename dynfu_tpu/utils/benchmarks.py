@@ -407,6 +407,106 @@ def run_umbrella_benchmark(
     return out
 
 
+def run_fusion_stage_benchmark(
+    volume_dims: int = 512,
+    iters: int = 5,
+    rows: int = 480,
+    cols: int = 640,
+    warmup_frames: int = 4,
+    rotations: bool = True,
+) -> dict:
+    """Per-stage wall times of the FUSION-mode frame (the optimization map
+    for VERDICT r3 #7: fusion 512-cube throughput). Same protocol as
+    `run_stage_benchmark`: stages timed in isolation against real engine
+    state; the fused frame overlaps them."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from dynfu_tpu.engine import dynfusion as dyn
+    from dynfu_tpu.mesh.mc import marching_cubes
+    from dynfu_tpu.volume import fusion as vfusion
+    from dynfu_tpu.warp import field as wfield
+
+    intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
+    caps = DynFuParams.caps_for_volume(volume_dims, fusion=True)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(volume_dims,) * 3),
+        solver_rotations=rotations,
+        **caps,
+    )
+    engine = DynFusion(params, mode="fusion")
+    cx, cy = cols / 2 - 0.5, rows / 2 - 0.5
+    for i in range(warmup_frames):
+        engine(sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols,
+                            525.0, 525.0, cx, cy))
+    import jax
+
+    depth = jnp.asarray(
+        sphere_depth((0.004 * warmup_frames, 0.0, 1.5), 0.5, rows, cols,
+                     525.0, 525.0, cx, cy), jnp.int32)
+
+    dp, config = engine.dynfu_params, engine.tsdf_config
+    vol, wf, c, pose = (engine.vol, engine.warpfield, engine.canonical,
+                        engine.poses[-1])
+
+    from dynfu_tpu.ops import imgproc
+
+    stages: dict[str, float] = {}
+
+    def probe(out):
+        return min(jtu.tree_leaves(out),
+                   key=lambda x: getattr(x, "size", 1 << 62))
+
+    def clock(name, fn):
+        out = fn()
+        sync(probe(out))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        sync(probe(out))
+        stages[name] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+        return out
+
+    dists = clock("preprocess", lambda: imgproc.compute_dists(depth, intr))
+    live = clock("points_normals",
+                 lambda: imgproc.compute_points_normals(depth, intr))
+    blend = "dlb" if rotations else "dqb"
+    clock("warp_canonical", lambda: (
+        wfield.warp_points_normals_dlb(wf, c.vertices, c.normals)
+        if rotations else
+        wfield.warp_points_normals(wf, c.vertices, c.normals)))
+    vol2, _ = clock("integrate_warped_band", lambda: vfusion.integrate_warped(
+        vol, wf, dists, pose, intr, config,
+        normals=live[1], min_cos=dp.fusion_min_cos,
+        max_active=dp.fusion_max_active, dilate=dp.fusion_dilate,
+        knn_k=dp.knn,
+        col_budget=dp.fusion_col_budget or dp.mc_col_budget,
+        blend=blend))
+    mesh_v, n_verts, _ = clock("marching_cubes_corner", lambda: marching_cubes(
+        vol2, config, max_voxels=dp.max_mc_voxels,
+        max_verts=dp.max_vertices, convention="corner",
+        col_budget=dp.mc_col_budget))
+    clock("extract_normals", lambda: dyn.tv.extract_normals(
+        vol2, mesh_v, config, frame="volume"))
+    clock("fused_full_frame", lambda: dyn._fusion_frame(
+        vol, wf, c.vertices, c.normals, c.mask, depth, pose,
+        dp=dp, intr=intr, config=config))
+
+    return {
+        "metric": f"fusion_stage_ms_{volume_dims}cube",
+        "value": stages["fused_full_frame"],
+        "unit": "ms/frame",
+        "vs_baseline": round(
+            1e3 / stages["fused_full_frame"] / TARGET_FPS, 4),
+        "stages_ms": stages,
+        "n_mesh_verts": int(n_verts),
+        "n_band": int(engine.last_frame_stats.band.n_band),
+    }
+
+
 def run_stage_benchmark(
     volume_dims: int = 128,
     iters: int = 10,

@@ -40,6 +40,9 @@ def main():
         run("fusion_512_se3", lambda: run_fusion_benchmark(
             volume_dims=512, rotations=True))
         run("umbrella_512", lambda: run_umbrella_benchmark(volume_dims=512))
+        from dynfu_tpu.utils.benchmarks import run_fusion_stage_benchmark
+        run("fusion_stage_512", lambda: run_fusion_stage_benchmark(
+            volume_dims=512))
 
 
 if __name__ == "__main__":
