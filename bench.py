@@ -64,6 +64,16 @@ def main() -> int:
         # the reference's own non-rigid config, as a detail row
         r128 = run_benchmark(volume_dims=128)
         print(f"# detail: {json.dumps(r128)}", file=sys.stderr)
+        # the accuracy flagship: SE(3) persistent-canonical fusion — the
+        # BASELINE <=1 mm bar is judged on its warped error figures
+        # (error-vs-accumulated-motion; see RESULTS.md)
+        try:
+            from dynfu_tpu.utils.benchmarks import run_fusion_benchmark
+
+            rf = run_fusion_benchmark(volume_dims=512, rotations=True)
+            print(f"# detail: {json.dumps(rf)}", file=sys.stderr)
+        except Exception as e:  # keep the headline if the flagship trips
+            print(f"# detail: fusion_se3_512 failed: {e}", file=sys.stderr)
     return 0
 
 

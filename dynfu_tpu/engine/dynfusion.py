@@ -429,6 +429,10 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             relinearize=dp.se3_relinearize, incremental=True,
             rot_prior=dp.se3_rot_prior, trans_prior=dp.se3_trans_prior,
             min_update=dp.fusion_min_update_vox * min(config.voxel_size),
+            # trust region tied to the association gate: every data target
+            # is within fusion_corr_dist of its warped vertex, so a larger
+            # per-frame node step cannot be data-driven (solver/se3.py)
+            max_update=dp.fusion_corr_dist,
         )
     else:
         wf, solve_stats = gn.solve(
@@ -440,6 +444,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             nonlinear_iter=dp.solver.nonlinear_iter,
             num_iter=dp.solver.num_iter, early_out=dp.solver.early_out,
             min_update=dp.fusion_min_update_vox * min(config.voxel_size),
+            max_update=dp.fusion_corr_dist,
         )
 
     # fuse the live observations back into the canonical volume through
@@ -456,20 +461,41 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     # re-extract the canonical surface (it grows/refines as observations
     # accumulate) + TSDF-gradient normals, then insert nodes where the new
     # surface is unsupported (warp_field.cpp:63-95)
-    mesh_verts, n_verts, mc_dropped = marching_cubes(
-        vol, config, max_voxels=dp.max_mc_voxels, max_verts=dp.max_vertices,
-        convention="corner",  # consistent with the integrator — see mc.py
-        col_budget=dp.mc_col_budget,
-    )
+    if dp.corr_unique_edges:
+        # unique vertex set (mesh/edges.py): the re-extracted canonical is
+        # consumed by gradient normals, the mesh warp, projective
+        # correspondence and insertion — all ~5x cheaper at unique
+        # granularity (the r4 fusion profile: extract_normals alone was
+        # 234 ms on the 512-cube soup); the triangle soup stays available
+        # on demand (DynFusion.mesh())
+        mesh_verts, n_verts, mc_dropped = edges.isosurface_edge_vertices(
+            vol, config,
+            max_edges=dp.max_edge_verts or dp.max_vertices // 2,
+            convention="corner",  # consistent with the integrator
+            col_budget=dp.mc_col_budget,
+        )
+    else:
+        mesh_verts, n_verts, mc_dropped = marching_cubes(
+            vol, config, max_voxels=dp.max_mc_voxels,
+            max_verts=dp.max_vertices,
+            convention="corner",  # consistent with the integrator — mc.py
+            col_budget=dp.mc_col_budget,
+        )
     new_m = jnp.arange(mesh_verts.shape[0]) < n_verts
     new_n = tv.extract_normals(vol, mesh_verts, config, frame="volume")
     if dp.solver_rotations:
         wv2, wn2 = wfield.warp_points_normals_dlb(wf, mesh_verts, new_n)
     else:
         wv2, wn2 = wfield.warp_points_normals(wf, mesh_verts, new_n)
+    # candidates outside the volume (+ truncation margin) are verts dragged
+    # away by a rogue warp, not new geometry — see update_warpfield(aabb=)
+    X, Y, Z = config.dims
+    vsx, vsy, vsz = config.voxel_size
+    m = 2.0 * config.trunc_dist
     wf = wfield.update_warpfield(
         wf, wv2, new_m, dp.epsilon, dp.node_voxel_leaf, dp.max_new_nodes,
         blend="dlb" if dp.solver_rotations else "dqb",
+        aabb=((-m, -m, -m), (X * vsx + m, Y * vsy + m, Z * vsz + m)),
     )
 
     corr_dropped = jnp.sum((canonical_m & ~corr_m).astype(jnp.int32))
@@ -675,8 +701,22 @@ class DynFusion(KinFu):
             )
             if self.mode != "fusion":
                 frame = self._dedup_canonical(frame)
-            elif dp.fusion_camera_tracking:
-                _, self.prev_live_pyr = self._preprocess(depth_mm)
+            else:
+                if dp.fusion_camera_tracking:
+                    _, self.prev_live_pyr = self._preprocess(depth_mm)
+                if dp.corr_unique_edges:
+                    # fusion canonical at unique-vertex granularity from
+                    # frame 0 so every _fusion_frame shares ONE shape
+                    # (node sampling above strides the SOUP, the parity
+                    # quirk, before this replacement)
+                    ev, ne, _ = edges.isosurface_edge_vertices(
+                        self.vol, self.tsdf_config,
+                        max_edges=dp.max_edge_verts or dp.max_vertices // 2,
+                        convention="corner", col_budget=dp.mc_col_budget)
+                    en = tv.extract_normals(self.vol, ev, self.tsdf_config,
+                                            frame="volume")
+                    frame = Frame(0, ev, en,
+                                  jnp.arange(ev.shape[0]) < ne)
             self.canonical = frame
             self.canonical_warped = frame
             self.frame_counter += 1
@@ -704,7 +744,10 @@ class DynFusion(KinFu):
             self.canonical = Frame(self.frame_counter, new_v, new_n, new_m)
             self.canonical_warped = Frame(self.frame_counter, wv2, wn2, new_m)
             self.live = self.canonical_warped
-            self.mesh_vertices = (new_v, n_verts)
+            if dp.corr_unique_edges:
+                self.mesh_vertices = None  # soup on demand (mesh())
+            else:
+                self.mesh_vertices = (new_v, n_verts)
             self.last_solve_stats = self.last_frame_stats.solve
             self.frame_counter += 1
             return True
@@ -813,6 +856,8 @@ class DynFusion(KinFu):
             dp = self.dynfu_params
             v, n, _ = marching_cubes(
                 self.vol, self.tsdf_config, max_voxels=dp.max_mc_voxels,
-                max_verts=dp.max_vertices, col_budget=dp.mc_col_budget)
+                max_verts=dp.max_vertices,
+                convention="corner" if self.mode == "fusion" else "center",
+                col_budget=dp.mc_col_budget)
             self.mesh_vertices = (v, n)
         return self.mesh_vertices

@@ -277,6 +277,26 @@ class DynFuParams:
                 # from frame 5 (r4 diag; canonical decays where updated
                 # least). 128 holds captured == n_band through 16 frames.
                 caps["fusion_col_budget"] = 128
+                # fusion consumes the re-extracted canonical at
+                # unique-vertex granularity too (r4 profile: gradient
+                # normals on the 248k soup were 234 ms alone). The
+                # persistent canonical is much larger than the parity
+                # scene's 35k unique verts — the accumulated band's soup
+                # was SILENTLY overflowing the old 262k soup cap (measured
+                # n_verts == cap-1; soup-vertex overflow was not counted
+                # in mc_dropped) — the edge path's n_dropped counter now
+                # surfaces it, and the capacity covers it
+                caps["corr_unique_edges"] = True
+                caps["max_edge_verts"] = 1 << 17
+                # rotation-noise damping at the 512-cube node density: with
+                # the default 0.03 the per-frame spin noise of weak-data rim
+                # nodes accumulates (warped error drifts 0.49 -> 10 mm over
+                # 15 frames; un-gated it CASCADES — nodes spin ~150°, verts
+                # fly, insertion follows them, see solver/se3.py max_update
+                # and scripts/diag/diag_fusion_band.py). At 0.3 the same
+                # run holds 0.37-0.42 mm warped / 1.5 mm canonical through
+                # 16 frames — the ≤1 mm BASELINE bar config.
+                caps["se3_rot_prior"] = 0.3
             return caps
         # correspondence failure-tier capacities also scale down with the
         # surface vertex count: the tiers run at full static capacity every

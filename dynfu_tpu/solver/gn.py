@@ -146,7 +146,8 @@ def build_graphs(wf: wfield.WarpField, canonical_v, knn_k: int = wfield.KNN):
     static_argnames=(
         "tukey_offset", "psi_data", "lambda_reg", "psi_reg",
         "linear_iter", "cg_tol", "knn_k", "nonlinear_iter",
-        "num_iter", "early_out", "min_update", "data_normal_fn",
+        "num_iter", "early_out", "min_update", "max_update",
+        "data_normal_fn",
     ),
 )
 def solve(
@@ -168,6 +169,7 @@ def solve(
     num_iter: int = 24,
     early_out: bool = True,
     min_update: float = 0.0,
+    max_update: float = 0.0,
     data_normal_fn=None,
 ):
     """One warp solve: returns (updated WarpField, SolveStats).
@@ -380,4 +382,11 @@ def solve(
         # 4.1/0.45 moving AND 2.3/0.6 static.
         norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
         t = t * jnp.maximum(0.0, 1.0 - min_update / jnp.maximum(norm, 1e-12))
+    if max_update > 0.0:
+        # trust region (see solver/se3.py): a per-frame node step beyond
+        # the projective-association gate cannot be data-driven — reject
+        # it outright (weak-data rim nodes otherwise fly meters and node
+        # insertion cascades along the rogue warp).
+        norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
+        t = jnp.where(norm <= max_update, t, 0.0)
     return wfield.compose_translations(wf, t), stats

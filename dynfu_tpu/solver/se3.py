@@ -328,7 +328,7 @@ def _exp_update_dq(xi, pos):
     jax.jit,
     static_argnames=("tukey_offset", "psi_data", "lambda_reg", "psi_reg",
                      "linear_iter", "cg_tol", "knn_k", "relinearize",
-                     "min_update", "incremental", "rot_prior",
+                     "min_update", "max_update", "incremental", "rot_prior",
                      "trans_prior"),
 )
 def solve(
@@ -346,6 +346,7 @@ def solve(
     knn_k: int = wfield.KNN,
     relinearize: int = 3,
     min_update: float = 0.0,
+    max_update: float = 0.0,
     incremental: bool = False,
     rot_prior: float = 0.03,
     trans_prior: float = 0.0,
@@ -484,22 +485,61 @@ def solve(
         blend2 = wfield._dlb_from_features(
             canonical_v, n_pos, n_dq, n_w, n_valid)
         y2 = dq.dq_transform_point(blend2, canonical_v)
+        # GN safeguarding: PCG on a near-singular normal system
+        # occasionally returns a step that RAISES the data cost by orders
+        # of magnitude (512-cube fusion: final_cost spikes of 1e4-1e7x,
+        # scripts/diag/diag_se3_512.py) — its sub-trust-region components
+        # still pass the step gates and accumulate as drift. Reject the
+        # whole step and keep the current state (the next relinearization
+        # re-assembles from there). The slack must be GENEROUS: healthy
+        # steps legitimately raise the s2-weighted data cost ~30x when the
+        # regularizer buys coherence with noisy rows (measured at 512-cube
+        # with rot_prior=0.03; a 4x slack rejected every step and the
+        # field froze at identity), so only clear blow-ups are rejected.
+        c_old = jnp.sum(s2 * jnp.sum((live_v - y) ** 2, -1))
+        c_new = jnp.sum(s2 * jnp.sum((live_v - y2) ** 2, -1))
+        ok = c_new <= 100.0 * c_old
+        upd2 = jnp.where(ok, upd2, upd)
+        y2 = jnp.where(ok, y2, y)
         return (upd2, y2), iters
 
     upd0 = jnp.broadcast_to(dq.dq_identity(), (D, 8))
     (upd, y_fin), iters_all = jax.lax.scan(
         gn_step, (upd0, y0), None, length=max(relinearize, 1))
 
-    if min_update > 0.0:
+    if min_update > 0.0 or max_update > 0.0:
         # hard deadband on the NODE'S OWN displacement |upd(p_k) - p_k|
         # (keep static scenes static in fusion mode — sub-threshold noise
         # fits zero out entirely, real motion passes unchanged). The dq's
         # raw translation would be the displacement of the global ORIGIN,
         # which a small rotation about a node meters away turns into a
         # meter-scale number — gating on it never holds.
+        #
+        # max_update is the matching TRUST REGION: a per-frame step whose
+        # worst-case displacement ANYWHERE IN THE NODE'S SUPPORT exceeds
+        # the projective-association gate cannot be data-driven (every
+        # data target lies within that gate of the warped vertex), so it
+        # is a noise fit of a weak-data node — REJECT it outright rather
+        # than scale it (a garbage direction at reduced magnitude still
+        # seeds garbage). The support-radius term matters: a pure rotation
+        # about the node moves the NODE zero while swinging its whole
+        # neighborhood by 2 sin(θ/2) dg_w — measured at 512-cube the
+        # un-gated solve spins rim nodes ~150° on frame 1 (t_dual ~3.9 m)
+        # and either the displacement gate alone misses it or node
+        # insertion cascades along the rogue warp
+        # (scripts/diag/diag_fusion_band.py).
         moved = dq.dq_transform_point(upd, wf.pos) - wf.pos
         norm = jnp.linalg.norm(moved, axis=-1, keepdims=True)
-        upd = jnp.where(norm > min_update, upd,
+        keep = norm > min_update if min_update > 0.0 else norm >= 0.0
+        if max_update > 0.0:
+            realp = upd[:, :4]
+            half = jnp.arccos(jnp.clip(
+                jnp.abs(realp[:, 0])
+                / jnp.maximum(jnp.linalg.norm(realp, axis=-1), 1e-12),
+                0.0, 1.0))  # θ/2 of the update's rotation
+            sweep = norm[:, 0] + 2.0 * jnp.sin(half) * wf.w
+            keep = keep & (sweep <= max_update)[:, None]
+        upd = jnp.where(keep, upd,
                         jnp.broadcast_to(dq.dq_identity(), upd.shape))
 
     final_cost = jnp.sum(s2 * jnp.sum((live_v - y_fin) ** 2, -1))

@@ -485,12 +485,28 @@ def run_fusion_stage_benchmark(
         knn_k=dp.knn,
         col_budget=dp.fusion_col_budget or dp.mc_col_budget,
         blend=blend))
-    mesh_v, n_verts, _ = clock("marching_cubes_corner", lambda: marching_cubes(
-        vol2, config, max_voxels=dp.max_mc_voxels,
-        max_verts=dp.max_vertices, convention="corner",
-        col_budget=dp.mc_col_budget))
+    if dp.corr_unique_edges:
+        from dynfu_tpu.mesh.edges import isosurface_edge_vertices
+
+        mesh_v, n_verts, n_drop = clock(
+            "edge_vertices", lambda: isosurface_edge_vertices(
+                vol2, config,
+                max_edges=dp.max_edge_verts or dp.max_vertices // 2,
+                convention="corner", col_budget=dp.mc_col_budget))
+    else:
+        mesh_v, n_verts, n_drop = clock(
+            "marching_cubes_corner", lambda: marching_cubes(
+                vol2, config, max_voxels=dp.max_mc_voxels,
+                max_verts=dp.max_vertices, convention="corner",
+                col_budget=dp.mc_col_budget))
     clock("extract_normals", lambda: dyn.tv.extract_normals(
         vol2, mesh_v, config, frame="volume"))
+    clock("warp_new_mesh", lambda: (
+        wfield.warp_points_normals_dlb(wf, mesh_v, mesh_v) if rotations
+        else wfield.warp_points_normals(wf, mesh_v, mesh_v)))
+    clock("frame_solve_disabled", lambda: dyn._fusion_frame(
+        vol, wf, c.vertices, c.normals, c.mask, depth, pose,
+        dp=dp, intr=intr, config=config, solve_enabled=False))
     clock("fused_full_frame", lambda: dyn._fusion_frame(
         vol, wf, c.vertices, c.normals, c.mask, depth, pose,
         dp=dp, intr=intr, config=config))
@@ -503,6 +519,7 @@ def run_fusion_stage_benchmark(
             1e3 / stages["fused_full_frame"] / TARGET_FPS, 4),
         "stages_ms": stages,
         "n_mesh_verts": int(n_verts),
+        "n_extract_dropped": int(n_drop),
         "n_band": int(engine.last_frame_stats.band.n_band),
     }
 

@@ -369,15 +369,24 @@ def _unsupported_tiered(wf: WarpField, verts, vert_mask, cap: int):
                    static_argnames=("epsilon", "leaf", "max_new", "blend"))
 def update_warpfield(wf: WarpField, verts, vert_mask, epsilon: float, leaf: float = 0.05,
                      max_new: int = 1024, blend: str = "dqb",
-                     vert_weights=None) -> WarpField:
+                     vert_weights=None, aabb=None) -> WarpField:
     """Warpfield::update (warp_field.cpp:63-95): find unsupported vertices,
     voxel-grid downsample them, insert as new nodes with dg_w = 2*epsilon.
 
     `vert_weights` carries soup multiplicities when `verts` is the
     deduplicated canonical — downsample centroids stay exactly
-    soup-weighted."""
+    soup-weighted.
+
+    `aabb` = ((lo3), (hi3)) sanity-gates candidate positions: the engine's
+    surface lives inside the TSDF volume, so an unsupported vertex OUTSIDE
+    it is a vertex dragged away by a rogue warp, not new geometry —
+    inserting a node there bakes the rogue warp into the field permanently
+    (the 512-cube fusion cascade, scripts/diag/diag_fusion_band.py)."""
     unsup = _unsupported_tiered(wf, verts, vert_mask,
                                 cap=min(verts.shape[0], 4 * max_new))
+    if aabb is not None:
+        lo, hi = (jnp.asarray(a, jnp.float32) for a in aabb)
+        unsup = unsup & jnp.all((verts >= lo) & (verts <= hi), axis=-1)
     # compact the (sparse) unsupported set before the downsample: the hash
     # scatters in voxel_downsample cost one row per INPUT point (24.6 ms
     # over the full 262k vertex buffer at 512-cube) while the unsupported

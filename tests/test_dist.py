@@ -212,6 +212,52 @@ def test_sharded_engine_frame_kernel_path_matches(mesh):
     assert int(got[9].corr_dropped) == int(ref[9].corr_dropped) == 0
 
 
+def test_sharded_engine_frame_unique_edges_matches(mesh):
+    """The unique-edge hot path (DynFuParams.corr_unique_edges — the
+    512-cube default since r4) under the mesh: the bit-packed edge
+    extraction + compaction must partition through GSPMD and reproduce the
+    single-device frame."""
+    import dataclasses
+
+    from dynfu_tpu.dist.engine_spmd import (place_engine_state,
+                                            sharded_engine_frame)
+    from dynfu_tpu.engine.dynfusion import DynFusion, _nonrigid_frame
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+
+    rows, cols = 120, 160
+    intr = Intr(131.25, 131.25, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(64, 64, 64)),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64,
+        corr_unique_edges=True, max_edge_verts=1 << 12,
+    )
+    engine = DynFusion(params)
+    d0 = sphere_depth((0.0, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    d1 = sphere_depth((0.01, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    engine(d0)
+    dp, cfg = engine.dynfu_params, engine.tsdf_config
+    c, pose = engine.canonical, engine.poses[-1]
+    args = (engine.vol, engine.warpfield, c.vertices, c.normals, c.mask,
+            jnp.asarray(d1, jnp.int32), pose)
+
+    ref = _nonrigid_frame(*args, dp=dp, intr=intr, config=cfg,
+                          strict_parity=True, integrate_mode="separable")
+    step = sharded_engine_frame(mesh, dp, intr, cfg, strict_parity=True)
+    got = step(*place_engine_state(mesh, *args))
+
+    assert int(got[8]) == int(ref[8]) > 0  # n unique edge verts
+    np.testing.assert_allclose(np.asarray(got[7]), np.asarray(ref[7]),
+                               atol=1e-6)  # edge vertex buffer
+    np.testing.assert_allclose(np.asarray(got[1].dqs),
+                               np.asarray(ref[1].dqs), atol=1e-5)
+    assert int(got[9].mc_dropped) == int(ref[9].mc_dropped) == 0
+
+
 def test_sharded_fusion_frame_runs(mesh):
     """The persistent-canonical fusion frame (projective correspondence +
     warped-back band integration) also executes under the mesh and matches

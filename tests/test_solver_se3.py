@@ -113,3 +113,44 @@ def test_se3_vert_mask_excludes_outliers():
     warped, _ = wfield.warp_points_normals_dlb(wf2, verts, verts)
     err = np.linalg.norm(np.asarray(warped - live), axis=-1)[mask]
     assert np.median(err) < 5e-4
+
+
+def test_se3_max_update_trust_region_rejects_rogue_steps():
+    """max_update (the fusion engine passes fusion_corr_dist): a per-frame
+    node step larger than the association gate cannot be data-driven, so
+    the solve must REJECT it outright (identity), not scale it — the
+    512-cube cascade this pins: an un-gated solve flung a weak-data rim
+    node 3.9 m on frame 1 and node insertion then followed the rogue warp
+    (scripts/diag/diag_fusion_band.py)."""
+    rng = np.random.RandomState(7)
+    wf, verts = _patch_scene(rng)
+    # demand an absurd deformation: targets 2 m away
+    live = verts + jnp.asarray([2.0, 0.0, 0.0])
+
+    wf2, _ = se3.solve(wf, verts, live, relinearize=2,
+                       max_update=0.1)
+    act = np.asarray(wf.mask)
+    moved = np.asarray(dq.dq_transform_point(wf2.dqs, wf.pos) - wf.pos)[act]
+    # every node's own displacement stays inside the trust region; with
+    # the whole data term demanding 2 m, the rejected nodes sit at identity
+    assert (np.linalg.norm(moved, axis=-1) <= 0.1 + 1e-6).all()
+    # real (small) motion still passes through the same gate
+    live_ok = verts + jnp.asarray([0.008, 0.0, 0.0])
+    wf3, _ = se3.solve(wf, verts, live_ok, relinearize=2, max_update=0.1)
+    warped, _ = wfield.warp_points_normals_dlb(wf3, verts, verts)
+    err = np.linalg.norm(np.asarray(warped - live_ok), axis=-1)
+    assert np.median(err) < 5e-4
+
+
+def test_gn_max_update_trust_region_rejects_rogue_steps():
+    rng = np.random.RandomState(8)
+    wf, verts = _patch_scene(rng)
+    live = verts + jnp.asarray([2.0, 0.0, 0.0])
+    wf2, _ = gn.solve(wf, verts, live, max_update=0.1)
+    t = np.asarray(dq.dq_translation(wf2.dqs))[np.asarray(wf.mask)]
+    assert (np.linalg.norm(t, axis=-1) <= 0.1 + 1e-6).all()
+    live_ok = verts + jnp.asarray([0.006, 0.0, 0.0])
+    wf3, _ = gn.solve(wf, verts, live_ok, max_update=0.1)
+    warped, _ = wfield.warp_points_normals(wf3, verts, verts)
+    err = np.linalg.norm(np.asarray(warped - live_ok), axis=-1)
+    assert np.median(err) < 5e-4

@@ -135,3 +135,23 @@ def test_unsupported_tiered_matches_exact():
     tiered = np.asarray(wfield._unsupported_tiered(
         wf, jnp.asarray(verts), jnp.asarray(vmask), cap=4096))
     np.testing.assert_array_equal(tiered, exact)
+
+
+def test_update_warpfield_aabb_gates_out_of_volume_candidates():
+    """aabb: unsupported vertices OUTSIDE the volume are verts dragged off
+    by a rogue warp, not new geometry — no node is inserted for them
+    (the 512-cube fusion insertion cascade, warp/field.py docstring)."""
+    wf = wfield.init_warpfield(grid_nodes(), weights=0.2, capacity=64)
+    verts = np.concatenate(
+        [
+            np.tile(np.array([[5.0, 5.0, 5.0]], np.float32), (10, 1)),
+            grid_nodes(),
+        ]
+    )
+    mask = np.ones(len(verts), bool)
+    wf2 = wfield.update_warpfield(wf, verts, mask, epsilon=0.1,
+                                  aabb=((0.0,) * 3, (3.0,) * 3))
+    assert int(wf2.count) == 8  # the far candidate is outside the box
+    wf3 = wfield.update_warpfield(wf, verts, mask, epsilon=0.1,
+                                  aabb=((0.0,) * 3, (6.0,) * 3))
+    assert int(wf3.count) == 9  # inside a larger box it inserts as before
