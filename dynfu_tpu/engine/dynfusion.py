@@ -467,13 +467,17 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         # correspondence and insertion — all ~5x cheaper at unique
         # granularity (the r4 fusion profile: extract_normals alone was
         # 234 ms on the 512-cube soup); the triangle soup stays available
-        # on demand (DynFusion.mesh())
-        mesh_verts, n_verts, mc_dropped = edges.isosurface_edge_vertices(
-            vol, config,
-            max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-            convention="corner",  # consistent with the integrator
-            col_budget=dp.mc_col_budget,
-        )
+        # on demand (DynFusion.mesh()). Normals ride the extraction
+        # (lerped endpoint lattice gradients — 4x fewer element gathers
+        # than the 6-trilinear-sample extract_normals).
+        mesh_verts, n_verts, mc_dropped, new_n = \
+            edges.isosurface_edge_vertices(
+                vol, config,
+                max_edges=dp.max_edge_verts or dp.max_vertices // 2,
+                convention="corner",  # consistent with the integrator
+                col_budget=dp.mc_col_budget,
+                with_normals=True,
+            )
     else:
         mesh_verts, n_verts, mc_dropped = marching_cubes(
             vol, config, max_voxels=dp.max_mc_voxels,
@@ -481,8 +485,8 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             convention="corner",  # consistent with the integrator — mc.py
             col_budget=dp.mc_col_budget,
         )
+        new_n = tv.extract_normals(vol, mesh_verts, config, frame="volume")
     new_m = jnp.arange(mesh_verts.shape[0]) < n_verts
-    new_n = tv.extract_normals(vol, mesh_verts, config, frame="volume")
     if dp.solver_rotations:
         wv2, wn2 = wfield.warp_points_normals_dlb(wf, mesh_verts, new_n)
     else:
@@ -709,12 +713,11 @@ class DynFusion(KinFu):
                     # frame 0 so every _fusion_frame shares ONE shape
                     # (node sampling above strides the SOUP, the parity
                     # quirk, before this replacement)
-                    ev, ne, _ = edges.isosurface_edge_vertices(
+                    ev, ne, _, en = edges.isosurface_edge_vertices(
                         self.vol, self.tsdf_config,
                         max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-                        convention="corner", col_budget=dp.mc_col_budget)
-                    en = tv.extract_normals(self.vol, ev, self.tsdf_config,
-                                            frame="volume")
+                        convention="corner", col_budget=dp.mc_col_budget,
+                        with_normals=True)
                     frame = Frame(0, ev, en,
                                   jnp.arange(ev.shape[0]) < ne)
             self.canonical = frame

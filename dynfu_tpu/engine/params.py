@@ -265,12 +265,24 @@ class DynFuParams:
                 caps["corr_unique_edges"] = True
                 caps["max_edge_verts"] = 49152
             if fusion:
-                # the persistent band grows as the warp sweeps new
-                # canonical voxels (measured 384k -> 565k over 15 moving
-                # frames at 512-cube); 1.5x the default capacity covers
-                # benchmark-length sequences, n_captured < n_band is the
-                # overflow signal
-                caps["fusion_max_active"] = (1 << 19) + (1 << 18)
+                # every capacity below is paid in every op that touches
+                # the buffer, so each is sized to its MEASURED stable
+                # workload + headroom (the overflow counters are the
+                # undersizing signal). Stable-run figures from
+                # scripts/diag/diag_fusion_band.py @512, 16 frames:
+                # band 384k->395k, nodes 439 + ~0 inserts/frame,
+                # canonical 39k unique verts.
+                #
+                # node capacity: 512-stride bootstrap emits <= 512 nodes
+                # (262k soup cap / 512); 640 leaves 128 insertion slots
+                # and the SE(3) normal system is (6D)^2 — capacity
+                # (1024 -> 640) cuts every PCG matvec 2.6x
+                caps["max_nodes"] = 640
+                caps["max_new_nodes"] = 256
+                # active band: 395k stable through 16 frames (the old
+                # 786k figure tracked a DIVERGING run's garbage sweep);
+                # 1 << 19 = 1.33x headroom, integrate_warped scales with it
+                caps["fusion_max_active"] = 1 << 19
                 # sphere-TANGENT z-columns chord through the band (~60
                 # cells) and the accumulated warp thickens it: the
                 # truncation-band auto estimate silently truncated capture
@@ -287,7 +299,10 @@ class DynFuParams:
                 # in mc_dropped) — the edge path's n_dropped counter now
                 # surfaces it, and the capacity covers it
                 caps["corr_unique_edges"] = True
-                caps["max_edge_verts"] = 1 << 17
+                # 39k unique verts stable through 16 frames; 64k = 1.67x
+                # headroom (normals/warp/correspondence/solve rows all
+                # scale with this buffer)
+                caps["max_edge_verts"] = 1 << 16
                 # rotation-noise damping at the 512-cube node density: with
                 # the default 0.03 the per-frame spin noise of weak-data rim
                 # nodes accumulates (warped error drifts 0.49 -> 10 mm over
@@ -297,6 +312,11 @@ class DynFuParams:
                 # run holds 0.37-0.42 mm warped / 1.5 mm canonical through
                 # 16 frames — the ≤1 mm BASELINE bar config.
                 caps["se3_rot_prior"] = 0.3
+                # 2 relinearizations measure accuracy-identical to 3 at
+                # this workload (warped 0.37-0.45 mm both, 16-frame diag)
+                # and cut the solve — the fusion frame's largest stage —
+                # by a third
+                caps["se3_relinearize"] = 2
             return caps
         # correspondence failure-tier capacities also scale down with the
         # surface vertex count: the tiers run at full static capacity every

@@ -77,14 +77,16 @@ def _or_axis_prev(w: jnp.ndarray, axis: int, out_len: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("config", "max_edges",
-                                             "convention", "col_budget"))
+                                             "convention", "col_budget",
+                                             "with_normals"))
 def isosurface_edge_vertices(
     vol: TsdfVolume,
     config: TsdfConfig,
     max_edges: int = 1 << 16,
     convention: str = "center",
     col_budget: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_normals: bool = False,
+):
     """Extract the unique isosurface vertex set.
 
     Returns (verts (max_edges, 3) float32 volume-frame meters — the first
@@ -92,7 +94,15 @@ def isosurface_edge_vertices(
     marching-cubes soup, so the correspondence certificate logic applies
     unchanged); n_edges () int32; n_dropped () int32 — sign-changing edges
     NOT captured because a compaction capacity overflowed).
-    """
+
+    with_normals=True appends TSDF-gradient normals (max_edges, 3),
+    volume-frame, computed IN the extraction: the two endpoint LATTICE
+    central differences (6 element gathers each) lerped by the
+    interpolation fraction t, vs tsdf.extract_normals' 6 trilinear
+    samples = 48 gathers per query — element gathers are this TPU's
+    slowest op (~4x fewer; measured 145 ms -> ~30 ms on the 512-cube
+    fusion canonical). NaN outside [2, dims-2)³, matching
+    extract_normals' boundary rule (tsdf_volume.cu:602-679)."""
     if convention not in ("center", "corner"):
         raise ValueError(f"unknown convention {convention!r}")
     X, Y, Z = config.dims
@@ -138,10 +148,15 @@ def isosurface_edge_vertices(
     # the column capacity scales with 2x the edge capacity (measured: the
     # 512-cube bench scene has ~69k active edge columns for ~35k edges —
     # max_edges//2 dropped 3947 edges)
+    # packed_cols: the plain active-column nonzero over X*Y*3 columns was
+    # 16.6 of this extraction's 18 ms (ubench_edges.py); the bit-packed
+    # compaction cuts it 32x (this program compile-checked on TPU — the
+    # opt-in exists because the same nesting OOMs the marching-cubes
+    # compile, see ops/compaction.py)
     flat_idx, n_total, n_captured = compaction.extract_columns(
         allw, per_column=K,
         max_cols=min(X * Y * 3, max(2 * max_edges, 1 << 15)),
-        max_out=max_edges, row_stride=Z, fill=fill)
+        max_out=max_edges, row_stride=Z, fill=fill, packed_cols=True)
     ok = flat_idx < fill
     safe = jnp.where(ok, flat_idx, 0)
     c = safe // Z
@@ -173,4 +188,37 @@ def isosurface_edge_vertices(
     verts = jnp.where(ok[:, None], p0 + t[:, None] * axis_dir, 0.0)
 
     n_dropped = n_total - n_captured
-    return verts, n_captured.astype(jnp.int32), n_dropped
+    if not with_normals:
+        return verts, n_captured.astype(jnp.int32), n_dropped
+
+    # endpoint lattice gradients, lerped by t. Both endpoints and their
+    # six ±1 neighbors are interior whenever the VERTEX passes the
+    # [2, dims-2)³ gate below, so plain clipping never contaminates a
+    # reported normal.
+    i1 = jnp.minimum(i + dxa, X - 1)
+    j1 = jnp.minimum(j + dya, Y - 1)
+    z1 = jnp.minimum(z + dza, Z - 1)
+
+    def lattice_grad(ii, jj, zz):
+        gx = (Fh[jnp.minimum(ii + 1, X - 1), jj, zz]
+              - Fh[jnp.maximum(ii - 1, 0), jj, zz]).astype(jnp.float32)
+        gy = (Fh[ii, jnp.minimum(jj + 1, Y - 1), zz]
+              - Fh[ii, jnp.maximum(jj - 1, 0), zz]).astype(jnp.float32)
+        gz = (Fh[ii, jj, jnp.minimum(zz + 1, Z - 1)]
+              - Fh[ii, jj, jnp.maximum(zz - 1, 0)]).astype(jnp.float32)
+        return jnp.stack([gx, gy, gz], axis=-1)
+
+    vs_inv = jnp.asarray(1.0 / vs, jnp.float32)
+    g = (lattice_grad(i, j, z) * (1.0 - t)[:, None]
+         + lattice_grad(i1, j1, z1) * t[:, None]) * vs_inv[None, :]
+    norms = g / jnp.maximum(
+        jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
+    # the rounded-voxel interior gate of extract_normals (the vertex lies
+    # on the edge between (i,j,z) and (i1,j1,z1))
+    gi = jnp.rint(verts * vs_inv[None, :]).astype(jnp.int32)
+    inside = ((gi[:, 0] > 1) & (gi[:, 0] < X - 2)
+              & (gi[:, 1] > 1) & (gi[:, 1] < Y - 2)
+              & (gi[:, 2] > 1) & (gi[:, 2] < Z - 2))
+    qnan = jnp.float32(jnp.nan)
+    norms = jnp.where((ok & inside)[:, None], norms, qnan)
+    return verts, n_captured.astype(jnp.int32), n_dropped, norms

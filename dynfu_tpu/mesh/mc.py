@@ -180,7 +180,11 @@ def marching_cubes(
         max_cols = min(occ_w.shape[0], max(max_voxels // 4, 1 << 15))
         vox_idx, n_occ_total, _ = compaction.extract_columns(
             occ_w, per_column=K, max_cols=max_cols, max_out=max_voxels,
-            row_stride=cz, fill=n_cells)
+            row_stride=cz, fill=n_cells,
+            # rank-select (ops/compaction.py): the earlier nested-LSB-round
+            # formulation OOMed THIS program's TPU compile; rank-select has
+            # no nested rounds and compile-checked at 128/512-cube
+            packed_cols=True)
     vox_valid = vox_idx < n_cells
     # any capacity overflow (per-column K, active-column cap, max_voxels)
     # surfaces here as occupied-but-unprocessed cells

@@ -126,6 +126,7 @@ def extract_columns(
     max_out: int,  # total output capacity
     row_stride: int,  # flat index = column_id * row_stride + z
     fill: int,  # flat index emitted for empty output slots
+    packed_cols: bool = False,  # bit-packed active-column compaction
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compact set bits into flat indices in dense scan order.
 
@@ -137,12 +138,45 @@ def extract_columns(
     n_total = jnp.sum(jax.lax.population_count(occ_w).astype(jnp.int32))
 
     col_active = jnp.any(occ_w != jnp.uint32(0), axis=1)
-    # NOTE: `flat_nonzero` would cut this scatter-per-element nonzero ~32x
-    # (measured correct on CPU), but nesting its extraction rounds inside
-    # this function's own round/slot machinery makes the 512-cube marching
-    # cubes program OOM the TPU compile helper (SIGKILL, reproducible) —
-    # keep the plain nonzero here until the compiler handles it.
-    col_idx = jnp.nonzero(col_active, size=max_cols, fill_value=ncols)[0]
+    if packed_cols:
+        # XLA lowers `nonzero` as one scatter per INPUT element — at the
+        # edge extraction's X*Y*3 = 786k columns that single op measured
+        # 16.6 of the 18 ms extraction (scripts/diag/ubench_edges.py).
+        # RANK-SELECT formulation: pack the mask 32x, per-word popcount +
+        # exclusive cumsum assigns every active column its output slot,
+        # and each output slot selects the k-th set bit of its word by
+        # prefix-popcount — one 24k stamp-scatter + VPU blocks, NO
+        # per-element scatter and no nested LSB rounds (which OOM this
+        # environment's TPU compile helper — SIGKILL, reproducible, both
+        # inside marching cubes and standalone in the edge extraction).
+        # OPT-IN because callers must compile-check their fused program.
+        nwm = (ncols + 31) // 32
+        padded = jnp.pad(col_active, (0, nwm * 32 - ncols))
+        aw = pack_columns(padded.reshape(nwm, 32)).reshape(nwm)
+        cnt = jax.lax.population_count(aw).astype(jnp.int32)
+        off = jnp.cumsum(cnt) - cnt
+        stamp = jnp.where(cnt > 0, off, max_cols)
+        wids = jnp.arange(nwm, dtype=jnp.int32)
+        wstart = jnp.zeros(max_cols, jnp.int32).at[stamp].max(
+            wids + 1, mode="drop")
+        word_of = jax.lax.cummax(wstart) - 1
+        n_act = off[-1] + cnt[-1]
+        slot = jnp.arange(max_cols, dtype=jnp.int32)
+        ok_s = (slot < n_act) & (word_of >= 0)
+        wsafe = jnp.maximum(word_of, 0)
+        rank = slot - off[wsafe]
+        w = aw[wsafe]  # (max_cols,) — gather from the small word table
+        bits = jnp.arange(32, dtype=jnp.uint32)
+        prefix = jax.lax.population_count(
+            w[:, None] & ((jnp.uint32(1) << bits) - jnp.uint32(1)))
+        isset = jnp.right_shift(w[:, None], bits) & jnp.uint32(1)
+        match = (prefix.astype(jnp.int32) == rank[:, None]) \
+            & (isset == jnp.uint32(1))
+        b = jnp.min(jnp.where(match, jnp.arange(32, dtype=jnp.int32)[None],
+                              jnp.int32(32)), axis=1)
+        col_idx = jnp.where(ok_s & (b < 32), wsafe * 32 + b, ncols)
+    else:
+        col_idx = jnp.nonzero(col_active, size=max_cols, fill_value=ncols)[0]
     col_ok = col_idx < ncols
     safe_col = jnp.minimum(col_idx, ncols - 1)
     words = jnp.where(col_ok[:, None], occ_w[safe_col], jnp.uint32(0))

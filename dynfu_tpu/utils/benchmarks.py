@@ -363,6 +363,12 @@ def run_umbrella_benchmark(
     )
     if fusion:
         params = dataclasses.replace(params, solver_rotations=True)
+    if caps.get("corr_unique_edges") and volume_dims >= 384:
+        # capacities are workload parameters (static shapes): the
+        # umbrella's wall + floor emit ~512k unique edge verts at
+        # 512-cube (measured 511,917 — 10x the sphere bench, whose
+        # preset this would otherwise silently truncate to 49k)
+        params = dataclasses.replace(params, max_edge_verts=1 << 19)
     engine = DynFusion(params, mode=mode)
 
     _frames = [kinect_sim.umbrella_frame(i, frames=seq_frames, h=rows,
@@ -403,6 +409,7 @@ def run_umbrella_benchmark(
         "p90_visible_err_mm": round(float(np.percentile(err_mm, 90)), 3),
         "coverage_px": int(got.sum()),
         "mc_dropped": int(fs.mc_dropped),
+        "corr_dropped": int(fs.corr_dropped),
     }
     return out
 
@@ -488,19 +495,20 @@ def run_fusion_stage_benchmark(
     if dp.corr_unique_edges:
         from dynfu_tpu.mesh.edges import isosurface_edge_vertices
 
-        mesh_v, n_verts, n_drop = clock(
-            "edge_vertices", lambda: isosurface_edge_vertices(
+        mesh_v, n_verts, n_drop, _ = clock(
+            "edge_vertices_with_normals", lambda: isosurface_edge_vertices(
                 vol2, config,
                 max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-                convention="corner", col_budget=dp.mc_col_budget))
+                convention="corner", col_budget=dp.mc_col_budget,
+                with_normals=True))
     else:
         mesh_v, n_verts, n_drop = clock(
             "marching_cubes_corner", lambda: marching_cubes(
                 vol2, config, max_voxels=dp.max_mc_voxels,
                 max_verts=dp.max_vertices, convention="corner",
                 col_budget=dp.mc_col_budget))
-    clock("extract_normals", lambda: dyn.tv.extract_normals(
-        vol2, mesh_v, config, frame="volume"))
+        clock("extract_normals", lambda: dyn.tv.extract_normals(
+            vol2, mesh_v, config, frame="volume"))
     clock("warp_new_mesh", lambda: (
         wfield.warp_points_normals_dlb(wf, mesh_v, mesh_v) if rotations
         else wfield.warp_points_normals(wf, mesh_v, mesh_v)))

@@ -118,6 +118,10 @@ def integrate_warped(
         max_out=max_active,
         row_stride=Z,
         fill=X * Y * Z,
+        # rank-select active-column compaction (ops/compaction.py): the
+        # plain nonzero costs one scatter per X*Y input element; this
+        # program compile-checked on TPU with packed_cols
+        packed_cols=True,
     )
     ok = flat_idx < X * Y * Z
     safe = jnp.where(ok, flat_idx, 0)

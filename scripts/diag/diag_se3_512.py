@@ -73,6 +73,8 @@ for i in range(16):
     if fs is not None:
         line["corr_dropped"] = int(fs.corr_dropped)
         line["final_cost"] = float(fs.solve.final_cost)
+        if hasattr(fs.solve, "cg_iters"):
+            line["cg_iters"] = int(fs.solve.cg_iters)
         line["mc_dropped"] = int(fs.mc_dropped)
         line["band"] = int(fs.band.n_band)
         line["captured"] = int(fs.band.n_captured)

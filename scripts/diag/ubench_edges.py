@@ -65,17 +65,62 @@ def _planes(Fh, W, X, Y):
 def bitplanes(Fh, W):
     X, Y, Z = Fh.shape
     ux, uy, uz = _planes(Fh, W, X, Y)
-    return ux | uz, uy  # force both materialized
+    nw = uz.shape[-1]
+    ux = jnp.concatenate([ux, jnp.zeros((1, Y, nw), jnp.uint32)], axis=0)
+    uy = jnp.concatenate([uy, jnp.zeros((X, 1, nw), jnp.uint32)], axis=1)
+    return ux | uz, uy  # force all three materialized
 
 
-@functools.partial(jax.jit, static_argnames=())
-def extract(Fh, W):
+def _allw(Fh, W):
     X, Y, Z = Fh.shape
     nw = (Z + 31) // 32
     ux, uy, uz = _planes(Fh, W, X, Y)
     ux = jnp.concatenate([ux, jnp.zeros((1, Y, nw), jnp.uint32)], axis=0)
     uy = jnp.concatenate([uy, jnp.zeros((X, 1, nw), jnp.uint32)], axis=1)
-    allw = jnp.stack([ux, uy, uz], axis=2).reshape(X * Y * 3, nw)
+    return jnp.stack([ux, uy, uz], axis=2).reshape(X * Y * 3, nw)
+
+
+@jax.jit
+def nonzero_cols(Fh, W):
+    # planes + the active-column nonzero ONLY
+    allw = _allw(Fh, W)
+    col_active = jnp.any(allw != jnp.uint32(0), axis=1)
+    return jnp.nonzero(col_active, size=2 * MAX_EDGES,
+                       fill_value=allw.shape[0])[0]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rounds_only(Fh, W, k=28):
+    # planes + nonzero + K LSB rounds, no slot assignment
+    allw = _allw(Fh, W)
+    ncols, nwords = allw.shape
+    col_idx = jnp.nonzero(jnp.any(allw != jnp.uint32(0), axis=1),
+                          size=2 * MAX_EDGES, fill_value=ncols)[0]
+    ok = col_idx < ncols
+    words = jnp.where(ok[:, None],
+                      allw[jnp.minimum(col_idx, ncols - 1)], jnp.uint32(0))
+    iota_w = jnp.arange(nwords, dtype=jnp.int32)
+    cands = []
+    for _ in range(k):
+        nz = words != jnp.uint32(0)
+        widx = jnp.min(jnp.where(nz, iota_w[None, :], jnp.int32(nwords)),
+                       axis=1)
+        oh = iota_w[None, :] == widx[:, None]
+        w = jnp.sum(jnp.where(oh, words, jnp.uint32(0)), axis=1,
+                    dtype=jnp.uint32)
+        lsb = w & (jnp.uint32(0) - w)
+        e = (jax.lax.bitcast_convert_type(lsb.astype(jnp.float32),
+                                          jnp.int32) >> 23) - 127
+        cands.append(jnp.where(lsb != jnp.uint32(0), widx * 32 + e,
+                               jnp.int32(nwords * 32)))
+        words = jnp.where(oh, words ^ lsb[:, None], words)
+    return jnp.stack(cands, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def extract(Fh, W):
+    X, Y, Z = Fh.shape
+    allw = _allw(Fh, W)
     flat, n_total, n_cap = compaction.extract_columns(
         allw, per_column=28, max_cols=2 * MAX_EDGES, max_out=MAX_EDGES,
         row_stride=Z, fill=X * Y * 3 * Z)
@@ -95,6 +140,8 @@ def clock(name, fn, *args, iters=10):
 
 
 clock("bitplanes", bitplanes, vol.tsdf, vol.weight)
+clock("nonzero  ", nonzero_cols, vol.tsdf, vol.weight)
+clock("rounds   ", rounds_only, vol.tsdf, vol.weight)
 clock("extract  ", extract, vol.tsdf, vol.weight)
 out = clock("full     ", lambda: E.isosurface_edge_vertices(
     vol, cfg, max_edges=MAX_EDGES))

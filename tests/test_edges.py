@@ -104,3 +104,59 @@ def test_engine_unique_edges_tracks_like_soup():
         assert int(mn) > 0
     # same tracking quality (the weighting deviation is sub-voxel-floor)
     assert abs(errs["edges"] - errs["soup"]) < 1.0, errs
+
+
+def test_edge_vertex_fused_normals_match_extract_normals():
+    """with_normals=True: the lerped endpoint lattice gradients must agree
+    with tsdf.extract_normals' 6-trilinear-sample gradient (the 4x-fewer-
+    gathers fusion hot path) — same direction to a few degrees on smooth
+    geometry, identical NaN boundary rule."""
+    d = sphere_depth((0.0, 0.0, 1.5), 0.5, ROWS, COLS,
+                     INTR.fx, INTR.fy, INTR.cx, INTR.cy)
+    vol, cfg = _integrated_volume(d)
+    ev, ne, edrop, en = isosurface_edge_vertices(
+        vol, cfg, max_edges=1 << 14, convention="corner", with_normals=True)
+    assert int(edrop) == 0
+    ref = tv.extract_normals(vol, ev, cfg, frame="volume")
+    ev_n, ref_n, fused_n = (np.asarray(x)[:int(ne)] for x in (ev, ref, en))
+    both = np.isfinite(ref_n[:, 0]) & np.isfinite(fused_n[:, 0])
+    # identical boundary/validity rule (rounded-voxel interior gate)
+    np.testing.assert_array_equal(np.isfinite(ref_n[:, 0]),
+                                  np.isfinite(fused_n[:, 0]))
+    assert both.sum() > 100
+    cos = np.sum(ref_n[both] * fused_n[both], axis=-1)
+    assert np.median(cos) > 0.99  # ~6° at this 47 mm voxel; shrinks with
+    assert np.percentile(cos, 1) > 0.8  # resolution (both are O(voxel))
+    # the real bar: against the ANALYTIC sphere normal the fused
+    # formulation is at least as accurate as the trilinear one (measured
+    # 0.9476 vs 0.9431 median cos at 64-cube)
+    center = np.asarray([1.5, 1.5, 1.0])
+    true_n = ev_n - center
+    true_n /= np.linalg.norm(true_n, axis=-1, keepdims=True)
+    med_fused = np.median(np.sum(true_n[both] * fused_n[both], axis=-1))
+    med_tri = np.median(np.sum(true_n[both] * ref_n[both], axis=-1))
+    assert med_fused > med_tri - 0.005, (med_fused, med_tri)
+
+
+def test_extract_columns_packed_cols_equivalence():
+    """The rank-select active-column compaction (packed_cols=True — the
+    edge extraction's replacement for the one-scatter-per-element
+    `nonzero`, ops/compaction.py) must reproduce the plain path exactly,
+    including capacity-overflow truncation order."""
+    from dynfu_tpu.ops import compaction
+
+    rng = np.random.RandomState(3)
+    for ncols, nwords, density, max_cols in [
+        (1000, 4, 0.05, 256), (1000, 4, 0.5, 64),  # overflow case
+        (4096, 2, 0.01, 512), (333, 1, 0.3, 512),
+    ]:
+        occ = (rng.rand(ncols, nwords * 32) < density)
+        w = compaction.pack_columns(jnp.asarray(occ))
+        a = compaction.extract_columns(
+            w, per_column=16, max_cols=max_cols, max_out=2048,
+            row_stride=nwords * 32, fill=-7)
+        b = compaction.extract_columns(
+            w, per_column=16, max_cols=max_cols, max_out=2048,
+            row_stride=nwords * 32, fill=-7, packed_cols=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

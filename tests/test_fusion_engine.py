@@ -233,12 +233,16 @@ def test_fusion_512_caps_pin_stability_fixes():
     caps = DynFuParams.caps_for_volume(512, fusion=True)
     assert caps["node_sample_step"] == 512
     assert caps["fusion_col_budget"] == 128
-    assert caps["fusion_max_active"] == (1 << 19) + (1 << 18)
+    assert caps["fusion_max_active"] == 1 << 19
     # r4: fusion consumes the canonical at unique-vertex granularity and
     # damps rotation noise at this node density (0.37-0.42 mm warped
-    # through 16 frames; 0.03 drifts to 10 mm — params.py rationale)
-    assert caps["corr_unique_edges"] and caps["max_edge_verts"] == 1 << 17
+    # through 16 frames; 0.03 drifts to 10 mm — params.py rationale);
+    # buffers sized to the measured stable workload (39k verts, 439+
+    # nodes, 395k band)
+    assert caps["corr_unique_edges"] and caps["max_edge_verts"] == 1 << 16
     assert caps["se3_rot_prior"] == 0.3
+    assert caps["se3_relinearize"] == 2
+    assert caps["max_nodes"] == 640 and caps["max_new_nodes"] == 256
     assert DynFuParams.caps_for_volume(448, fusion=True)[
         "node_sample_step"] == 512
     # parity-mode 512 presets: stride-256 deviation + unique-edge hot path
