@@ -16,6 +16,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <chrono>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -118,15 +119,26 @@ class Loader {
     }
 
     // Copy frame `index` into out (row-major uint16). Blocks until decoded.
-    // Returns 0 ok, 1 decode failure, 2 index out of range, 3 buffer small.
+    // Returns 0 ok, 1 decode failure, 2 index out of range, 3 buffer
+    // small, 4 loader stopped, 5 timeout (watchdog: a stuck worker or a
+    // scheduling bug must surface as a diagnosable error, never a hang —
+    // a full-suite run once deadlocked here, see work()'s grant order).
     int get(size_t index, uint16_t *out, int *h, int *w, size_t capacity) {
         if (index >= paths_.size()) return 2;
         std::unique_lock<std::mutex> lk(mu_);
         Slot &s = ring_[index % ring_.size()];
-        cv_ready_.wait(lk, [&] {
+        bool ok_pred = cv_ready_.wait_for(lk, std::chrono::seconds(120), [&] {
             return stop_ || (s.index == index && (s.frame.ready || s.frame.failed));
         });
-        if (s.frame.failed) return 1;
+        if (!ok_pred) return 5;
+        if (stop_ && !(s.index == index && s.frame.ready)) return 4;
+        if (s.frame.failed) {
+            // the failure has been DELIVERED: release the slot (leaving it
+            // unconsumed would wedge every later claim of this slot)
+            s.consumed = true;
+            cv_space_.notify_all();
+            return 1;
+        }
         if (s.frame.data.size() > capacity) return 3;
         *h = s.frame.height;
         *w = s.frame.width;
@@ -154,9 +166,19 @@ class Loader {
                 if (stop_ || next_to_decode_ >= paths_.size()) return;
                 idx = next_to_decode_++;
                 Slot &s = ring_[idx % ring_.size()];
-                // wait until the previous occupant of this ring slot is consumed
+                const size_t R = ring_.size();
+                // ORDERED slot grant: the slot may only be taken when its
+                // occupant is exactly this claim's predecessor (idx - R,
+                // consumed). A bare "empty or consumed" predicate lets an
+                // unordered condvar wakeup hand the slot to claim idx+R
+                // ahead of idx when two workers wait on the same slot
+                // (threads > queue_depth) — the consumer then waits for
+                // idx forever while idx's worker waits for the consumer:
+                // deadlock (observed as a full-suite hang).
                 cv_space_.wait(lk, [&] {
-                    return stop_ || s.index == SIZE_MAX || s.consumed;
+                    if (stop_) return true;
+                    if (idx < R) return s.index == SIZE_MAX;
+                    return s.index == idx - R && s.consumed;
                 });
                 if (stop_) return;
                 s.index = idx;

@@ -41,7 +41,12 @@ def run_file(path: Path, extra: list[str]) -> tuple[Path, int, str, float]:
                            timeout=PER_FILE_TIMEOUT_S)
         out, rc = r.stdout + r.stderr, r.returncode
     except subprocess.TimeoutExpired as e:
-        out = (e.stdout or "") + (e.stderr or "") + "\n[TIMEOUT]"
+        # TimeoutExpired carries bytes even under text=True
+        def _s(x):
+            return x.decode(errors="replace") if isinstance(x, bytes) \
+                else (x or "")
+
+        out = _s(e.stdout) + _s(e.stderr) + "\n[TIMEOUT]"
         rc = -9
     return path, rc, out, time.perf_counter() - t0
 

@@ -24,19 +24,26 @@ def test_distributed_bootstrap_noop_single_host(monkeypatch):
 
 def test_native_loader_stress(tmp_path):
     """Many frames through a small ring with several workers stays ordered
-    and bit-exact."""
+    and bit-exact — including threads > queue_depth, where two workers can
+    wait on the SAME ring slot: the ordered slot-grant predicate
+    (dynfu_loader.cpp work()) must hand the slot to the LOWER claim, or an
+    unordered condvar wakeup deadlocks consumer against worker (a
+    full-suite run once hung here for 20+ minutes)."""
     from dynfu_tpu.io import meshio
     from dynfu_tpu.io.datasets import generate_synthetic
     from dynfu_tpu.io.native_loader import DepthLoader
 
     root = generate_synthetic(str(tmp_path / "seq"), frames=12, h=40, w=56)
     depths, _ = meshio.list_dataset(root)
-    ldr = DepthLoader(depths, queue_depth=3, threads=3)
-    try:
-        for i in range(len(ldr)):
-            np.testing.assert_array_equal(ldr[i], meshio.load_depth_png(depths[i]))
-    finally:
-        ldr.close()
+    want = [meshio.load_depth_png(p) for p in depths]
+    for qd, th in [(3, 3), (2, 6), (1, 4)]:
+        for _ in range(3):
+            ldr = DepthLoader(depths, queue_depth=qd, threads=th)
+            try:
+                for i in range(len(ldr)):
+                    np.testing.assert_array_equal(ldr[i], want[i])
+            finally:
+                ldr.close()
 
 
 def test_checkpoint_fixed_mode(tmp_path):
