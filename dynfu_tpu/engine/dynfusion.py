@@ -209,6 +209,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     dists -> clear+integrate -> marching cubes -> warp canonical -> 1-NN
     correspondence -> GN solve -> node insertion (dyn_fusion.cpp:100-144).
     One dispatch per frame; no intermediate host round-trips."""
+    depth_mm = depth_mm.astype(jnp.int32)  # uint16 wire format widens here
     dists = imgproc.compute_dists(depth_mm, intr)
 
     # clear + re-integrate (dyn_fusion.cpp:107-116) — fused on the
@@ -363,6 +364,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     single-frame depth quantization and is the path below the parity
     pipeline's voxel-discretization error floor.
     """
+    depth_mm = depth_mm.astype(jnp.int32)  # uint16 wire format widens here
     H, W = depth_mm.shape
     dists = imgproc.compute_dists(depth_mm, intr)
     live_pts, live_ns = imgproc.compute_points_normals(depth_mm, intr)
@@ -644,6 +646,8 @@ class DynFusion(KinFu):
         persistent and too valuable to drop)."""
         import numpy as np
 
+        depth_mm = jnp.asarray(depth_mm, jnp.int32)  # widen uint16 input
+
         from dynfu_tpu.rigid import icp as _icp
 
         p = self.params
@@ -693,9 +697,17 @@ class DynFusion(KinFu):
     def __call__(self, depth_mm) -> bool:
         dp = self.dynfu_params
         p = self.params
-        depth_mm = jnp.asarray(depth_mm, jnp.int32)
+        # uint16 input (the Kinect wire format — the reference's depth is
+        # ushort, kinfu.cpp:16-18) is passed through to the jitted frame
+        # and widened there: casting eagerly would cost an extra dispatch,
+        # and uploading int32 doubles the per-frame host->device transfer
+        # (~3 ms over this host's TPU tunnel at 640x480)
+        depth_mm = jnp.asarray(depth_mm)
+        if depth_mm.dtype not in (jnp.int32, jnp.uint16, jnp.int16):
+            depth_mm = depth_mm.astype(jnp.int32)
 
         if self.frame_counter == 0:
+            depth_mm = depth_mm.astype(jnp.int32)  # once, off the hot loop
             dists, filtered = self._preprocess_nonrigid(depth_mm)
             # pose is identity for the whole parity pipeline -> separable MXU path
             self.vol = tv.integrate_separable(self.vol, dists, self.poses[-1],

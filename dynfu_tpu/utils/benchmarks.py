@@ -129,14 +129,15 @@ def run_benchmark(
 
     # pre-generate the input frames: the benchmark measures the FUSION
     # pipeline; the reference's fps meter likewise excludes image decode
-    # (cv::imread runs before the SampledScopeTime scope, demo.cpp:85-95)
-    repeats = 3
-    n_total = warmup + repeats * frames + 3
+    # (cv::imread runs before the SampledScopeTime scope, demo.cpp:85-95).
+    # uint16 = the Kinect wire format the reference streams (ushort depth,
+    # kinfu.cpp:16-18); it halves the per-frame host->device upload
     _frames = [
-        sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols, 525.0, 525.0,
-                     cx, cy)
-        for i in range(n_total)
+        np.asarray(sphere_depth((0.004 * i, 0.0, 1.5), 0.5, rows, cols,
+                                525.0, 525.0, cx, cy), np.uint16)
+        for i in range(warmup + 3 * frames + 3)
     ]
+    repeats = 3
 
     def frame(i):
         return _frames[i]
@@ -245,6 +246,7 @@ def run_fusion_benchmark(
     rows: int = 480,
     cols: int = 640,
     rotations: bool = False,
+    camera_motion: float = 0.0,
 ) -> dict:
     """Persistent-canonical fusion mode (mode="fusion"): the DynamicFusion
     fusion model the reference scaffolded but never built
@@ -255,6 +257,13 @@ def run_fusion_benchmark(
       re-extracted canonical mesh (the persistent model's quality; the
       parity clear+reintegrate loop pins this to the voxel floor)
     * warped_err_mm — median |warped surface - true live sphere| (tracking)
+
+    camera_motion > 0: the CAMERA translates camera_motion m/frame along y
+    while the sphere deforms along x — fusion_camera_tracking must recover
+    the rigid motion per frame (frame-to-frame projective ICP) so the
+    non-rigid solve only sees true deformation; errors are still measured
+    in the WORLD (volume) frame, so residual pose error shows up in
+    warped_err_mm directly.
     """
     intr = Intr(525.0, 525.0, cols / 2 - 0.5, rows / 2 - 0.5)
     caps = DynFuParams.caps_for_volume(volume_dims, fusion=True)
@@ -262,6 +271,7 @@ def run_fusion_benchmark(
         kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
                           volume_dims=(volume_dims,) * 3),
         solver_rotations=rotations,
+        fusion_camera_tracking=camera_motion != 0.0,
         **caps,
     )
     engine = DynFusion(params, mode="fusion")
@@ -271,8 +281,8 @@ def run_fusion_benchmark(
 
     n_total = warmup + frames
     _frames = [
-        sphere_depth((0.004 * i, 0.0, 1.5), radius, rows, cols, 525.0, 525.0,
-                     cx, cy)
+        sphere_depth((0.004 * i, -camera_motion * i, 1.5), radius, rows,
+                     cols, 525.0, 525.0, cx, cy)
         for i in range(n_total)
     ]
 
@@ -320,8 +330,9 @@ def run_fusion_benchmark(
     assert int(fs.band.n_captured) == int(fs.band.n_band), (
         "fusion band compaction overflow — raise fusion_max_active")
 
+    tag = "_movingcam" if camera_motion else ""
     return {
-        "metric": f"fusion_mode_fps_{volume_dims}cube",
+        "metric": f"fusion_mode_fps_{volume_dims}cube{tag}",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / TARGET_FPS, 4),

@@ -39,6 +39,8 @@ def main():
         run("fusion_512", lambda: run_fusion_benchmark(volume_dims=512))
         run("fusion_512_se3", lambda: run_fusion_benchmark(
             volume_dims=512, rotations=True))
+        run("fusion_512_se3_movingcam", lambda: run_fusion_benchmark(
+            volume_dims=512, rotations=True, camera_motion=0.002))
         run("umbrella_512", lambda: run_umbrella_benchmark(volume_dims=512))
         from dynfu_tpu.utils.benchmarks import run_fusion_stage_benchmark
         run("fusion_stage_512", lambda: run_fusion_stage_benchmark(

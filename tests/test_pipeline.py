@@ -216,3 +216,20 @@ def test_fixed_mode_with_se3_rotations():
     # not at all); the rot_prior step damping bounds the noise-fit spin
     # without biasing true rotations (see solver/se3.py)
     assert float(df.last_frame_stats.solve.mean_rot_deg) < 15.0
+
+
+def test_uint16_depth_input_matches_int32():
+    """uint16 depth (the Kinect wire format — the reference's ushort,
+    kinfu.cpp:16-18) must produce bit-identical engine results to int32:
+    the widening happens INSIDE the jitted frame so the hot loop uploads
+    half the bytes."""
+    outs = {}
+    for dt in (np.int32, np.uint16):
+        eng = DynFusion(small_dynfu_params())
+        for i in range(4):
+            c = (CENTER[0] + 0.004 * i, CENTER[1], CENTER[2])
+            eng(np.asarray(sphere_depth(c, RADIUS), dt))
+        wv, wm = eng.warped_cloud()
+        outs[dt] = (np.asarray(wv), np.asarray(wm))
+    np.testing.assert_array_equal(outs[np.int32][0], outs[np.uint16][0])
+    np.testing.assert_array_equal(outs[np.int32][1], outs[np.uint16][1])
