@@ -330,6 +330,40 @@ class FusionFrameStats(NamedTuple):
     band: vfusion.FusionStats
 
 
+@functools.partial(jax.jit, static_argnames=("intr", "thresh", "dilate"))
+def _mask_deforming_depth(depth_mm, cv, wv, m, pose, vol_r, vol_t, *,
+                          intr, thresh: float, dilate: int):
+    """Zero out depth pixels covered by the KNOWN-DEFORMING canonical
+    region so frame-to-frame rigid ICP tracks the camera on static
+    structure only.
+
+    A rigid fit over the full image absorbs the dominant object's
+    coherent deformation as camera motion (measured at 512-cube: the ICP
+    reported -3.3 mm x for a 4 mm/frame deforming sphere under a pure-y
+    camera track, and the world anchor drifted with the object). The
+    engine already knows the deformation per canonical vertex —
+    |warped - canonical| — so vertices moving more than `thresh` project
+    to an exclusion mask (dilated; the object moves a few px/frame).
+    Frame 1 has an identity warp and masks nothing: its one-frame
+    contamination is bounded by a single frame's deformation."""
+    H, W = depth_mm.shape
+    disp = jnp.sum((wv - cv) ** 2, axis=-1)
+    deforming = m & (disp > thresh * thresh)
+    cam_from_vol = se3.compose(se3.inverse(pose), (vol_r, vol_t))
+    vc = _apply_rows(cam_from_vol, wv)
+    u = intr.fx * vc[:, 0] / jnp.maximum(vc[:, 2], 1e-6) + intr.cx
+    v = intr.fy * vc[:, 1] / jnp.maximum(vc[:, 2], 1e-6) + intr.cy
+    in_img = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (vc[:, 2] > 0)
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
+    hit = (deforming & in_img).astype(jnp.int32)
+    img = jnp.zeros((H, W), jnp.int32).at[vi, ui].max(hit)
+    win = 2 * dilate + 1
+    img = jax.lax.reduce_window(img, jnp.int32(0), jax.lax.max,
+                                (win, win), (1, 1), "SAME")
+    return jnp.where(img > 0, 0, depth_mm)
+
+
 @jax.jit
 def _expand_rows(verts, normals, soup_inverse, soup_mask):
     idx = jnp.minimum(soup_inverse, jnp.int32(verts.shape[0] - 1))
@@ -651,7 +685,17 @@ class DynFusion(KinFu):
         from dynfu_tpu.rigid import icp as _icp
 
         p = self.params
-        _, curr_pyr = self._preprocess(depth_mm)
+        depth_icp = depth_mm
+        if (self.canonical is not None and self.canonical_warped is not None
+                and self.canonical.vertices.shape
+                == self.canonical_warped.vertices.shape):
+            depth_icp = _mask_deforming_depth(
+                depth_mm, self.canonical.vertices,
+                self.canonical_warped.vertices, self.canonical_warped.mask,
+                self.poses[-1], self.vol.pose_r, self.vol.pose_t,
+                intr=p.intr,
+                thresh=float(min(self.tsdf_config.voxel_size)), dilate=8)
+        _, curr_pyr = self._preprocess(depth_icp)
         if self.prev_live_pyr is None:
             self.prev_live_pyr = curr_pyr
             self.poses.append(self.poses[-1])
