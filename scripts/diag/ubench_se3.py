@@ -107,3 +107,51 @@ clock("solve    ", lambda: S.solve(
     wf, cv, live, vert_mask=mask, knn_k=dp.knn,
     relinearize=dp.se3_relinearize, incremental=True,
     rot_prior=dp.se3_rot_prior, max_update=dp.fusion_corr_dist))
+
+# --- assembly sub-probes -------------------------------------------------
+pos_c = jnp.where(wf.mask[:, None], wf.pos, 0.0)
+
+
+@jax.jit
+def blocks_only():
+    B2, Bu2, Bw2 = grams()
+    A_d, b_d = S._assemble_data(B2, Bu2, Bw2, pos_c, D)
+    return b_d  # forces A too? no — return A_d slice to force it
+    
+
+@jax.jit
+def data_only():
+    B2, Bu2, Bw2 = grams()
+    A_d, b_d = S._assemble_data(B2, Bu2, Bw2, pos_c, D)
+    return A_d
+
+
+@jax.jit
+def reg_only():
+    reg_idx, _ = wfield.find_neighbors(wf, wf.pos, dp.knn)
+    edge_mask = (wf.mask[:, None] & wf.mask[reg_idx]).astype(jnp.float32)
+    A_r, b_r, _ = S._assemble_reg(wf, reg_idx, edge_mask, 1.0, D)
+    return A_r
+
+
+clock("data_asm ", data_only)
+clock("reg_asm  ", reg_only)
+
+# --- differential: same fused output shape, one term at a time ----------
+@jax.jit
+def asm_data_fused():
+    B2, Bu2, Bw2 = grams()
+    A_d, b_d = S._assemble_data(B2, Bu2, Bw2, pos_c, D)
+    return A_d.reshape(D * 6, D * 6)[:8, :8], b_d.reshape(-1)[:8]
+
+
+@jax.jit
+def asm_reg_fused():
+    reg_idx, _ = wfield.find_neighbors(wf, wf.pos, dp.knn)
+    edge_mask = (wf.mask[:, None] & wf.mask[reg_idx]).astype(jnp.float32)
+    A_r, b_r, _ = S._assemble_reg(wf, reg_idx, edge_mask, 1.0, D)
+    return A_r.reshape(D * 6, D * 6)[:8, :8], b_r.reshape(-1)[:8]
+
+
+clock("data_fusd", asm_data_fused)
+clock("reg_fusd ", asm_reg_fused)
