@@ -214,13 +214,20 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
 
     # clear + re-integrate (dyn_fusion.cpp:107-116) — fused on the
     # separable paths (fresh=True is bit-identical and skips the clear's
-    # full-volume write plus the previous-state reads)
+    # full-volume write plus the previous-state reads). On the unique-edge
+    # path the integrate also emits the packed (tsdf<0, weight!=0) z-column
+    # bitplanes while each z-chunk is live, so the edge extraction below
+    # stops re-reading the ~400 MB stored volume to rebuild them.
+    want_planes = dp.corr_unique_edges and strict_parity
+    planes = None
     if integrate_mode == "separable":
-        vol = tv.integrate_separable(vol, dists, pose, intr, config,
-                                     fresh=True)
+        out = tv.integrate_separable(vol, dists, pose, intr, config,
+                                     fresh=True, emit_bitplanes=want_planes)
+        vol, planes = out if want_planes else (out, None)
     elif integrate_mode == "rotated":
-        vol = tv.integrate_rotated(vol, dists, pose, intr, config,
-                                   fresh=True)
+        out = tv.integrate_rotated(vol, dists, pose, intr, config,
+                                   fresh=True, emit_bitplanes=want_planes)
+        vol, planes = out if want_planes else (out, None)
     else:
         vol = tv.integrate(tv.clear(vol), dists, pose, intr, config)
 
@@ -231,7 +238,8 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         live_v, n_verts, mc_dropped = edges.isosurface_edge_vertices(
             vol, config,
             max_edges=dp.max_edge_verts or dp.max_vertices // 2,
-            col_budget=dp.edge_col_budget or dp.mc_col_budget)
+            col_budget=dp.edge_col_budget or dp.mc_col_budget,
+            bitplanes=planes)
         mesh_verts = live_v
     else:
         mesh_verts, n_verts, mc_dropped = marching_cubes(

@@ -86,6 +86,7 @@ def isosurface_edge_vertices(
     convention: str = "center",
     col_budget: int = 0,
     with_normals: bool = False,
+    bitplanes: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Extract the unique isosurface vertex set.
 
@@ -102,15 +103,23 @@ def isosurface_edge_vertices(
     samples = 48 gathers per query — element gathers are this TPU's
     slowest op (~4x fewer; measured 145 ms -> ~30 ms on the 512-cube
     fusion canonical). NaN outside [2, dims-2)³, matching
-    extract_normals' boundary rule (tsdf_volume.cu:602-679)."""
+    extract_normals' boundary rule (tsdf_volume.cu:602-679).
+
+    bitplanes: optional precomputed (pack_columns(tsdf < 0),
+    pack_columns(weight != 0)) — the integrate emits them fused
+    (tsdf.integrate_separable(emit_bitplanes=True)), skipping this
+    function's full-volume re-read."""
     if convention not in ("center", "corner"):
         raise ValueError(f"unknown convention {convention!r}")
     X, Y, Z = config.dims
     vs = np.asarray(config.voxel_size, np.float32)
     Fh, W = vol.tsdf, vol.weight
 
-    ins_w = compaction.pack_columns(Fh < 0)  # (X, Y, nw)
-    val_w = compaction.pack_columns(W != 0)
+    if bitplanes is None:
+        ins_w = compaction.pack_columns(Fh < 0)  # (X, Y, nw)
+        val_w = compaction.pack_columns(W != 0)
+    else:
+        ins_w, val_w = bitplanes
     nw = ins_w.shape[-1]
 
     # cell occupancy, as marching cubes pass 1 (mesh/mc.py)

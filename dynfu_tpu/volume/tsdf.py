@@ -213,7 +213,8 @@ def integrate(
     return vol._replace(tsdf=tsdf_a, weight=weight_a)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intr", "fresh"))
+@functools.partial(jax.jit, static_argnames=("config", "intr", "fresh",
+                                             "emit_bitplanes"))
 def integrate_separable(
     vol: TsdfVolume,
     dists: jnp.ndarray,  # (H, W) float16 meters
@@ -221,7 +222,8 @@ def integrate_separable(
     intr: Intr,
     config: TsdfConfig,
     fresh: bool = False,
-) -> TsdfVolume:
+    emit_bitplanes: bool = False,
+):
     """MXU fast path of `integrate` for axis-aligned poses.
 
     Requires rotation(inv(camera_pose) ∘ volume_pose) == I — true for the
@@ -239,6 +241,15 @@ def integrate_separable(
     The update rule is bit-identical to the gather path (same floor
     sampling, same guards — out-of-image rows are all-zero, which yields
     Dp = 0, the same 'skip' the reference takes for Dp == 0).
+
+    emit_bitplanes=True additionally returns the bit-packed z-column planes
+    (ins_w, val_w) = (pack_columns(tsdf < 0), pack_columns(weight != 0)) of
+    the POST-update volume, packed from the z-chunk while it is live in
+    registers — the unique-edge extraction (mesh/edges.py) otherwise
+    re-reads the whole stored volume (~400 MB at 512-cube) just to rebuild
+    these planes. Requires the effective z-chunk to be 32-bit-word aligned;
+    falls back to a post-loop pack when it is not (non-multiple-of-32 Z).
+    Return becomes (vol, (ins_w, val_w)).
     """
     X, Y, Z = config.dims
     vsx, vsy, vsz = config.voxel_size
@@ -259,8 +270,11 @@ def integrate_separable(
 
     norm_xy2 = vcx[:, None] ** 2 + vcy[None, :] ** 2  # (X, Y)
 
+    fused_planes = emit_bitplanes and C % 32 == 0
+    nw = (Z + 31) // 32
+
     def body(ci, carry):
-        tsdf_a, weight_a = carry
+        tsdf_a, weight_a, ins_a, val_a = carry
         z0 = ci * C
         zf = (z0 + jnp.arange(C)).astype(jnp.float32)
         vcz = zf * vsz + t[2]  # (C,)
@@ -303,10 +317,26 @@ def integrate_separable(
         w_out = jnp.where(update, w_new, w_prev).astype(jnp.uint8)
         tsdf_a = jax.lax.dynamic_update_slice_in_dim(tsdf_a, tsdf_out, z0, 2)
         weight_a = jax.lax.dynamic_update_slice_in_dim(weight_a, w_out, z0, 2)
-        return tsdf_a, weight_a
+        if fused_planes:
+            from dynfu_tpu.ops import compaction
+            ins_a = jax.lax.dynamic_update_slice_in_dim(
+                ins_a, compaction.pack_columns(tsdf_out < 0), z0 // 32, 2)
+            val_a = jax.lax.dynamic_update_slice_in_dim(
+                val_a, compaction.pack_columns(w_out != 0), z0 // 32, 2)
+        return tsdf_a, weight_a, ins_a, val_a
 
-    tsdf_a, weight_a = jax.lax.fori_loop(0, n_chunks, body, (vol.tsdf, vol.weight))
-    return vol._replace(tsdf=tsdf_a, weight=weight_a)
+    plane0 = (jnp.zeros((X, Y, nw), jnp.uint32) if fused_planes
+              else jnp.zeros((0,), jnp.uint32))
+    tsdf_a, weight_a, ins_w, val_w = jax.lax.fori_loop(
+        0, n_chunks, body, (vol.tsdf, vol.weight, plane0, plane0))
+    out = vol._replace(tsdf=tsdf_a, weight=weight_a)
+    if not emit_bitplanes:
+        return out
+    if not fused_planes:  # unaligned chunk: pack from the stored volume
+        from dynfu_tpu.ops import compaction
+        ins_w = compaction.pack_columns(tsdf_a < 0)
+        val_w = compaction.pack_columns(weight_a != 0)
+    return out, (ins_w, val_w)
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +423,8 @@ def _vol2cam_rotation_split(vol: TsdfVolume, camera_pose):
     return R_rel, virt
 
 
-@functools.partial(jax.jit, static_argnames=("config", "intr", "fresh"))
+@functools.partial(jax.jit, static_argnames=("config", "intr", "fresh",
+                                             "emit_bitplanes"))
 def integrate_rotated(
     vol: TsdfVolume,
     dists: jnp.ndarray,
@@ -401,7 +432,8 @@ def integrate_rotated(
     intr: Intr,
     config: TsdfConfig,
     fresh: bool = False,
-) -> TsdfVolume:
+    emit_bitplanes: bool = False,
+):
     """Rotated-camera integrate on the separable MXU path: warp the dists
     image by the rotation homography, then run integrate_separable from the
     equivalent axis-aligned camera. sdf uses |vc|, which is rotation
@@ -411,7 +443,7 @@ def integrate_rotated(
     Hmat = _rotation_homography(R_rel, intr)
     warped = _warp_image_nearest(dists, Hmat, dists.shape)
     return integrate_separable(vol, warped, virt_pose, intr, config,
-                               fresh=fresh)
+                               fresh=fresh, emit_bitplanes=emit_bitplanes)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "intr", "shape", "fov_margin"))

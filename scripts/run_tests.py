@@ -54,13 +54,19 @@ def run_file(path: Path, extra: list[str]) -> tuple[Path, int, str, float]:
 def main(argv: list[str]) -> int:
     jobs = 2
     extra: list[str] = []
+    files: list[Path] = []
     for a in argv:
         if re.fullmatch(r"-j\d+", a):
             jobs = int(a[2:])
+        elif not a.startswith("-") and a.endswith(".py") and Path(a).exists():
+            files.append(Path(a).resolve())
+        elif a in ("-q", "--quiet"):
+            pass  # run_file already passes -q; a second one ("-q -q")
+            # suppresses pytest's "N passed" summary and breaks counting
         else:
             extra.append(a)
 
-    files = sorted((REPO / "tests").glob("test_*.py"))
+    files = sorted(files) or sorted((REPO / "tests").glob("test_*.py"))
     if not files:
         print("no test files found", file=sys.stderr)
         return 2

@@ -85,6 +85,32 @@ def test_integrate_weight_clamps_at_max():
     assert int(np.asarray(vol.weight).max()) == 3
 
 
+def test_integrate_separable_emits_bitplanes():
+    """emit_bitplanes returns exactly pack_columns(tsdf<0 / weight!=0) of
+    the post-update volume — the fused emission the engine frame feeds to
+    the unique-edge extraction (both the word-aligned z-chunk path and the
+    unaligned fallback)."""
+    from dynfu_tpu.ops import compaction
+
+    for dims, z_chunk in (((16, 16, 64), 32), ((16, 16, 48), 48)):
+        cfg = small_config(dims=dims, z_chunk=z_chunk)
+        pose = (np.eye(3, dtype=np.float32),
+                np.array([-0.5, -0.5, 0.3], np.float32))
+        vol = tv.create(cfg, pose)
+        dists = jnp.asarray(plane_dists(0.7))
+        cam = se3.identity()
+        out, (ins_w, val_w) = tv.integrate_separable(
+            vol, dists, cam, INTR, cfg, fresh=True, emit_bitplanes=True)
+        ref = tv.integrate_separable(vol, dists, cam, INTR, cfg, fresh=True)
+        np.testing.assert_array_equal(np.asarray(out.tsdf),
+                                      np.asarray(ref.tsdf))
+        want_ins = compaction.pack_columns(ref.tsdf < 0)
+        want_val = compaction.pack_columns(ref.weight != 0)
+        assert int((np.asarray(want_ins) != 0).sum()) > 0  # real crossings
+        np.testing.assert_array_equal(np.asarray(ins_w), np.asarray(want_ins))
+        np.testing.assert_array_equal(np.asarray(val_w), np.asarray(want_val))
+
+
 def test_clear():
     cfg = small_config()
     vol = tv.create(cfg)
