@@ -153,10 +153,13 @@ def isosurface_edge_vertices(
         config.trunc_dist / config.voxel_size[2]))))
     K = min(K, Z)
     fill = X * Y * 3 * Z
-    # active edge COLUMNS ~ 3x the active cell columns (one per axis), so
-    # the column capacity scales with 2x the edge capacity (measured: the
-    # 512-cube bench scene has ~69k active edge columns for ~35k edges —
-    # max_edges//2 dropped 3947 edges)
+    # column capacity = max_edges exactly: every ACTIVE column holds >= 1
+    # set bit, so in the no-drop regime n_active_cols <= n_edges <=
+    # max_edges — extra column headroom can never capture edges the
+    # max_out cap would not drop anyway, and the compaction's stamp/
+    # cummax/round arrays all scale with max_cols (round 5: 2x max_edges
+    # cost ~2 ms of the 512-cube extraction for zero capture difference).
+    # Column overflow still surfaces in n_dropped via n_captured.
     # packed_cols: the plain active-column nonzero over X*Y*3 columns was
     # 16.6 of this extraction's 18 ms (ubench_edges.py); the bit-packed
     # compaction cuts it 32x (this program compile-checked on TPU — the
@@ -164,7 +167,7 @@ def isosurface_edge_vertices(
     # compile, see ops/compaction.py)
     flat_idx, n_total, n_captured = compaction.extract_columns(
         allw, per_column=K,
-        max_cols=min(X * Y * 3, max(2 * max_edges, 1 << 15)),
+        max_cols=min(X * Y * 3, max(max_edges, 1 << 15)),
         max_out=max_edges, row_stride=Z, fill=fill, packed_cols=True)
     ok = flat_idx < fill
     safe = jnp.where(ok, flat_idx, 0)

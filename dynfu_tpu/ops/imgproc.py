@@ -153,14 +153,24 @@ def depth_pyramid_down(depth_mm: jnp.ndarray, sigma_depth: float = 0.04) -> jnp.
 
 @functools.partial(jax.jit, static_argnames=("intr",))
 def compute_dists(depth_mm: jnp.ndarray, intr: Intr) -> jnp.ndarray:
-    """Radial ray length in meters, float16 (reference packs half)."""
+    """Radial ray length in meters, float16 (reference packs half).
+
+    The f16 narrowing is SEMANTIC, not storage: the reference's dists map
+    is half precision (compute_dists_kernel, imgproc.cu:248-262), and the
+    integrate's one-hot resample matmuls are bit-exact at Precision.HIGH
+    only for f16-mantissa payloads (volume/tsdf.py `_onehot`). Inside a
+    fused engine frame XLA folds convert(f16->f32) chains and silently
+    feeds the matmul the unrounded f32 product — the barrier pins the f16
+    quantization point so fused and standalone paths compute identically.
+    """
     H, W = depth_mm.shape
     x = jnp.arange(W, dtype=jnp.float32)[None, :]
     y = jnp.arange(H, dtype=jnp.float32)[:, None]
     xl = (x - intr.cx) / intr.fx
     yl = (y - intr.cy) / intr.fy
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
-    return (depth_mm.astype(jnp.float32) * lam * 0.001).astype(jnp.float16)
+    d16 = (depth_mm.astype(jnp.float32) * lam * 0.001).astype(jnp.float16)
+    return jax.lax.optimization_barrier(d16)
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,16 @@ def _chunk_size(Z: int, z_chunk: int) -> int:
 _hi = jax.lax.Precision.HIGHEST
 _mm = functools.partial(jnp.matmul, precision=_hi)
 
+# ONE-HOT selection matmuls (0/1 matrix x payload) are BIT-exact at HIGH
+# (3-pass bf16 decomposition) whenever the payload mantissa fits ~19 bits:
+# each output row selects exactly one payload element (no accumulation), and
+# a float16-sourced value (11-bit mantissa) splits exactly into hi+lo bf16
+# terms, so the 3 cross-term passes reconstruct it exactly. HIGHEST (6-pass)
+# doubles the MXU work of integrate/raycast for zero numerical difference —
+# verified bitwise over a 512-cube integrate on TPU (round 5). Payloads that
+# are NOT f16-mantissa (full f32 geometry) must stay on _hi.
+_onehot = jax.lax.Precision.HIGH
+
 _QNAN = jnp.float32(jnp.nan)
 
 
@@ -290,8 +300,9 @@ def integrate_separable(
         Pu = ((ui[..., None] == iw) & valid_u[..., None]).astype(jnp.float32)
         Pv = ((vi[..., None] == ih) & valid_v[..., None]).astype(jnp.float32)
         # (C,X,W) x (H,W) -> (C,X,H) ; x (C,Y,H) -> (X,Y,C)
-        T1 = jnp.einsum("cxw,hw->cxh", Pu, dists_f, precision=_hi)
-        Dp = jnp.einsum("cxh,cyh->xyc", T1, Pv, precision=_hi)
+        # one-hot x f16-mantissa payload: HIGH is bit-exact (see _onehot)
+        T1 = jnp.einsum("cxw,hw->cxh", Pu, dists_f, precision=_onehot)
+        Dp = jnp.einsum("cxh,cyh->xyc", T1, Pv, precision=_onehot)
 
         vcz_b = vcz[None, None, :]
         norm_vc = jnp.sqrt(norm_xy2[:, :, None] + vcz_b * vcz_b)
