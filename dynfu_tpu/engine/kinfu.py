@@ -24,8 +24,10 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +37,90 @@ from dynfu_tpu.utils.jaxcache import enable_compilation_cache
 from dynfu_tpu.ops import imgproc
 from dynfu_tpu.rigid import icp
 from dynfu_tpu.volume import tsdf as tv
+
+
+@functools.partial(jax.jit, static_argnames=("p", "config", "margin"))
+def _rigid_frame(vol, prev_pyr, pose_R, pose_t, depth_mm, *,
+                 p: KinFuParams, config: tv.TsdfConfig, margin: float):
+    """The ENTIRE rigid frame k>=1 as ONE XLA program: preprocess ->
+    multi-scale stencil ICP -> device-side pose composition -> fused
+    clear+integrate -> raycast -> next reference pyramid.
+
+    The reference's loop round-trips to the host 27 floats per ICP
+    iteration (projective_icp.cpp:25-57) and dispatches each stage
+    separately; round 4 had already fused the ICP schedule but still paid
+    ~16 per-stage dispatches and a BLOCKING pose readback per frame (~28 ms
+    tunnel floor on this host). Here the pose lives on device; the packed
+    (R, t, ok) readback is issued per frame but resolved one frame LATE by
+    the engine, so its transfer overlaps the next frame's compute.
+
+    Dispatch inside the program: the separable integrate/raycast fast paths
+    require an axis-aligned pose, which is only known AFTER the in-program
+    ICP — so the choice is a lax.cond on the composed pose's rotation
+    (mirrors the host `_aligned` atol=1e-6), and the homography branch
+    carries the statically-chosen virtual-image `margin` bucket (selected
+    by the host from the one-frame-stale pose; a pose escaping its bucket
+    NaNs border correspondences, which drop out gracefully like
+    out-of-image projections).
+
+    Failure semantics (degenerate ICP): the pose freezes, integrate/raycast
+    run at the frozen pose, and ok=False rides the packed readback; the
+    engine resets when it resolves — one frame later than the reference's
+    immediate reset (kinfu.cpp:189-191), with the interim state discarded
+    by that reset."""
+    depth_mm = depth_mm.astype(jnp.int32)
+    intr = p.intr
+    dists = imgproc.compute_dists(depth_mm, intr)
+    filtered = imgproc.bilateral_filter(
+        depth_mm, p.bilateral_kernel_size, p.bilateral_sigma_spatial,
+        p.bilateral_sigma_depth)
+    if p.icp_truncate_depth_dist > 0:
+        filtered = imgproc.truncate_depth(filtered, p.icp_truncate_depth_dist)
+    levels = len(p.icp_iter_num)
+    depth_pyr = [filtered]
+    for _ in range(1, levels):
+        depth_pyr.append(imgproc.depth_pyramid_down(
+            depth_pyr[-1], p.bilateral_sigma_depth))
+    curr_pyr = tuple(
+        imgproc.compute_points_normals(d, intr.level(i))
+        for i, d in enumerate(depth_pyr))
+
+    (Rinc, tinc), ok = icp.estimate_transform_stencil(
+        curr_pyr, prev_pyr, intr, iters=p.icp_iter_num,
+        dist_thres=p.icp_dist_thres, angle_thres=p.icp_angle_thres,
+        radii=p.icp_stencil_radii)
+
+    # pose = pose * affine (kinfu.cpp:194), frozen on failure
+    Rc, tc = se3.compose((pose_R, pose_t), (Rinc, tinc))
+    Rn = jnp.where(ok, Rc, pose_R)
+    tn = jnp.where(ok, tc, pose_t)
+
+    aligned = jnp.all(jnp.abs(Rn - jnp.eye(3, dtype=Rn.dtype)) < 1e-6)
+
+    vol2 = jax.lax.cond(
+        aligned,
+        lambda op: tv.integrate_separable(op[0], op[1], (op[2], op[3]),
+                                          intr, config, fresh=True),
+        lambda op: tv.integrate_rotated(op[0], op[1], (op[2], op[3]),
+                                        intr, config, fresh=True),
+        (vol, dists, Rn, tn))
+
+    shape = (p.rows, p.cols)
+    pts, nrm = jax.lax.cond(
+        aligned,
+        lambda op: tv.raycast_separable(op[0], (op[1], op[2]), intr, shape,
+                                        config),
+        lambda op: tv.raycast_rotated(op[0], (op[1], op[2]), intr, shape,
+                                      config, fov_margin=margin),
+        (vol2, Rn, tn))
+
+    prev = [(pts, nrm)]
+    for _ in range(1, levels):
+        prev.append(imgproc.resize_points_normals(*prev[-1]))
+
+    packed = jnp.concatenate(
+        [Rn.reshape(-1), tn, ok.astype(jnp.float32)[None]])
+    return vol2, tuple(prev), Rn, tn, packed
 
 
 class KinFu:
@@ -62,10 +148,12 @@ class KinFu:
 
     # -- accessors (reference kinfu.hpp:74-90) ------------------------------
     def tsdf(self) -> tv.TsdfVolume:
+        self._resolve_pending()
         return self.vol
 
     def get_camera_pose(self, time: int = -1):
         """poses_[time] with the reference's clamp semantics (kinfu.cpp:133-139)."""
+        self._resolve_pending()
         if time > len(self.poses) or time < 0:
             time = len(self.poses) - 1
         return self.poses[time]
@@ -73,11 +161,13 @@ class KinFu:
     def reset(self):
         """Pose -> identity, volume cleared (kinfu.cpp:121-130).
 
-        Poses live as HOST numpy pairs: every per-frame dispatch decision
-        (_aligned, _rotation_angle) and the pose composition read them, and
-        on this host each device readback costs a ~28 ms tunnel round-trip
-        — the ICP result is pulled ONCE per frame (packed with its ok flag)
-        and all pose math after that is free host numpy."""
+        Poses live as HOST numpy pairs: dispatch decisions (_aligned,
+        _rotation_angle, margin buckets) read them, and on this host each
+        device readback costs a ~28 ms tunnel round-trip. On the fused
+        frame path the AUTHORITATIVE pose lives on device (_pose_dev); the
+        host copy is refreshed by ONE packed (R, t, ok) readback per frame,
+        resolved one frame late so the transfer overlaps compute
+        (_resolve_pending)."""
         if getattr(self, "frame_counter", 0):
             print("Reset")
         self.frame_counter = 0
@@ -85,6 +175,27 @@ class KinFu:
             (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))]
         self.vol = tv.create(self.tsdf_config, self.volume_pose)
         self.prev_pyr = None
+        self._pose_dev = (jnp.eye(3, dtype=jnp.float32),
+                          jnp.zeros(3, jnp.float32))
+        self._pending = None  # packed (13,) device array from _rigid_frame
+
+    def _resolve_pending(self) -> bool:
+        """Pull the previous fused frame's packed (R, t, ok) to the host:
+        append the pose to the history, or reset on a degenerate ICP
+        (detected one frame late — the interim frozen-pose state is
+        discarded by the reset; see _rigid_frame). Returns False when a
+        reset happened."""
+        if self._pending is None:
+            return True
+        packed = np.asarray(self._pending)
+        self._pending = None
+        if packed[12] == 0.0:
+            self.reset()
+            return False
+        self.poses.append(
+            (packed[:9].reshape(3, 3).astype(np.float32),
+             packed[9:12].astype(np.float32)))
+        return True
 
     # -- per-frame ----------------------------------------------------------
     def _preprocess(self, depth_mm: jnp.ndarray):
@@ -208,6 +319,39 @@ class KinFu:
 
     def __call__(self, depth_mm) -> bool:
         p = self.params
+
+        # fused single-program path: stencil ICP + auto raycast dispatch,
+        # stale-pose tilt within the homography fast-path envelope.
+        # Dispatch FIRST, resolve the previous packed readback SECOND: the
+        # D2H round trip (~28 ms tunnel floor on this host) then overlaps
+        # the just-dispatched program instead of serializing the loop. The
+        # margin/tilt dispatch decisions therefore read a pose up to two
+        # frames stale — covered by the bucket slack.
+        if (p.fused_frame and p.icp_assoc == "stencil"
+                and p.raycast_mode == "auto" and self.frame_counter > 0):
+            margin = self._raycast_margin(self.poses[-1])
+            if (margin is not None and self._rotation_angle(self.poses[-1])
+                    < self.MAX_HOMOGRAPHY_TILT - 0.05):
+                # pass the wire-format depth through: the program widens it
+                # (uint16 streams upload half the bytes, kinfu.cpp:16-18)
+                out = _rigid_frame(
+                    self.vol, tuple(self.prev_pyr), *self._pose_dev,
+                    jnp.asarray(depth_mm), p=p, config=self.tsdf_config,
+                    margin=margin)
+                if not self._resolve_pending():
+                    # previous frame's ICP was degenerate: reset() already
+                    # reinstalled clean state; discard this frame's outputs
+                    # (the reference also loses the failure frame,
+                    # kinfu.cpp:189-191)
+                    return False
+                self.vol, self.prev_pyr, R_dev, t_dev, packed = out
+                self._pose_dev = (R_dev, t_dev)
+                self._pending = packed
+                was = self.frame_counter
+                self.frame_counter += 1
+                return was >= 2
+
+        self._resolve_pending()
         depth_mm = jnp.asarray(depth_mm, jnp.int32)
         dists, curr_pyr = self._preprocess(depth_mm)
 
@@ -247,6 +391,8 @@ class KinFu:
         R, t = packed[:9].reshape(3, 3), packed[9:12]
         Rp, tp = self.poses[-1]
         self.poses.append((Rp @ R, Rp @ t + tp))
+        self._pose_dev = (jnp.asarray(self.poses[-1][0], jnp.float32),
+                          jnp.asarray(self.poses[-1][1], jnp.float32))
 
         # always clear + reintegrate (reference kinfu.cpp:201-207) — fused
         self.vol = self._integrate(dists, self.poses[-1], fresh=True)
@@ -274,6 +420,7 @@ class KinFu:
         from dynfu_tpu.mesh import marching_cubes
         from dynfu_tpu.mesh.mc import mesh_to_world
 
+        self._resolve_pending()
         verts, n, _ = marching_cubes(self.vol, self.tsdf_config,
                                      max_voxels=max_voxels, max_verts=max_verts)
         soup = mesh_to_world(verts, self.vol)
@@ -286,6 +433,7 @@ class KinFu:
         flag 0: shaded surface; 1: tangent-color normals; 3: side-by-side
         (KinFu::renderImage, kinfu.cpp:261-292).
         """
+        self._resolve_pending()
         if self.prev_pyr is None:
             raise RuntimeError("no frames processed")
         pts, nrm = self.prev_pyr[0]

@@ -66,6 +66,12 @@ class KinFuParams:
     # formulations (slow, quantization-free)
     raycast_mode: str = "auto"
 
+    # run frame k>=1 as ONE fused XLA program (engine/kinfu.py
+    # _rigid_frame: device-side pose composition + overlapped pose
+    # readback) when the stencil/auto dispatch conditions hold; False
+    # forces the per-stage dispatch path (same formulations, host pose)
+    fused_frame: bool = True
+
     @staticmethod
     def default_params() -> "KinFuParams":
         return KinFuParams()

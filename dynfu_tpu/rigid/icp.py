@@ -43,6 +43,31 @@ from dynfu_tpu.ops import imgproc
 _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
+def _rot3(p, R):
+    """(..., 3) x (3, 3)^T as broadcast sums: p @ R.T without the MXU.
+
+    An (N, 3) x (3, 3) HIGHEST matmul runs at 3/128 x 3/128 MXU tile
+    utilization x 6 passes (and risks the documented pathological-compile
+    class, ops/knn.py) — the same replacement volume/fusion.py:170 and
+    engine/dynfusion.py:384 use."""
+    return (p[..., 0:1] * R[:, 0] + p[..., 1:2] * R[:, 1]
+            + p[..., 2:3] * R[:, 2])
+
+
+def _normal_equations_reduce(Jf, r):
+    """A = J^T J, b = J^T r as a fused broadcast-multiply + tree reduce.
+
+    The (6, N) x (N, 6) matmul pads M = N = 6 up to the 128x128 MXU tile
+    (0.2% utilization) and at HIGHEST runs 6 passes — measured ~1 ms per
+    ICP iteration at 640x480, ~20 ms of the 19-iteration schedule. The
+    VPU reduction is the reference's own 27-term partial_reduce
+    (proj_icp.cu:101-333) in XLA form; f32 tree adds, no precision loss
+    class vs the 6-pass bf16 matmul."""
+    A = jnp.sum(Jf[:, :, None] * Jf[:, None, :], axis=0)
+    b = jnp.sum(Jf * r[:, None], axis=0)
+    return A, b
+
+
 def build_pyramids(points, normals, levels: int):
     """Point/normal pyramid via the reference's 2x2 resize
     (resizePointsNormals, kinfu.cpp:219-227)."""
@@ -116,7 +141,16 @@ def _fetch_stencil(img, vi, ui, radius: int):
     pyramid levels have converged the pose, and this chip runs element
     gathers ~1000x slower than elementwise work — the (2R+1)^2 shifted
     selects are pure VPU traffic. Replaces the texture fetch of
-    find_coresp (proj_icp.cu:70-99) for the fast (non-parity) ICP mode."""
+    find_coresp (proj_icp.cu:70-99) for the fast (non-parity) ICP mode.
+
+    On TPU the select chain runs as a Pallas kernel with the image
+    resident in VMEM (ops/stencil_pallas.py): the XLA formulation streams
+    the image through HBM once per shifted select — (2R+1)^2 x 7.4 MB per
+    level-0 iteration — which measured ~32 ms of the fused rigid frame."""
+    from dynfu_tpu.ops import stencil_pallas
+
+    if stencil_pallas.available():
+        return stencil_pallas.fetch_stencil_tpu(img, vi, ui, radius)
     H, W = vi.shape
     ys = jnp.arange(H, dtype=jnp.int32)[:, None]
     xs = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -141,7 +175,7 @@ def _icp_normal_equations_stencil(
     whose flow fits the window; larger flows drop out of the system the
     same way out-of-image projections do."""
     H, W = vcurr.shape[:2]
-    s = _mm(vcurr.reshape(-1, 3), aff_R.T).reshape(H, W, 3) + aff_t
+    s = _rot3(vcurr, aff_R) + aff_t
 
     u = intr.fx * s[..., 0] / s[..., 2] + intr.cx
     v = intr.fy * s[..., 1] / s[..., 2] + intr.cy
@@ -155,7 +189,7 @@ def _icp_normal_equations_stencil(
                           radius)
     d, nd = both[..., :3], both[..., 3:]
 
-    ns = _mm(ncurr.reshape(-1, 3), aff_R.T).reshape(H, W, 3)
+    ns = _rot3(ncurr, aff_R)
     diff = s - d
     dist2 = jnp.sum(diff * diff, axis=-1)
     cosine = jnp.abs(jnp.sum(ns * nd, axis=-1))
@@ -176,10 +210,7 @@ def _icp_normal_equations_stencil(
     J = jnp.nan_to_num(J)
     r = jnp.nan_to_num(r)
 
-    Jf = J.reshape(-1, 6)
-    A = _mm(Jf.T, Jf)
-    b = Jf.T @ r.reshape(-1)
-    return A, b
+    return _normal_equations_reduce(J.reshape(-1, 6), r.reshape(-1))
 
 
 @functools.partial(
