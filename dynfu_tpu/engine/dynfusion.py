@@ -253,6 +253,34 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
     else:
         live_n = tv.extract_normals(vol, live_v, config, frame="volume")
 
+    # foreground tracking (DynFuParams.fg_aabb): compact the tracked live
+    # set to the dynamic-foreground box so correspondence + solve scale
+    # with the FOREGROUND capacity, not the whole scene (the umbrella's
+    # wall/floor are ~80% of its 512k unique vertices and perfectly
+    # static — VolumeDeform's own masks solve the same problem). The full
+    # extraction above still feeds mesh()/exports; rank_select preserves
+    # x-major scan order, so the correspondence certificate logic is
+    # untouched. Untracked-overflow counts into corr_dropped.
+    fg_dropped = jnp.int32(0)
+    if dp.fg_aabb is not None and dp.max_fg_verts > 0:
+        from dynfu_tpu.ops import compaction
+
+        (flo, fhi) = dp.fg_aabb
+        inb = (live_m
+               & (live_v[:, 0] >= flo[0]) & (live_v[:, 0] < fhi[0])
+               & (live_v[:, 1] >= flo[1]) & (live_v[:, 1] < fhi[1])
+               & (live_v[:, 2] >= flo[2]) & (live_v[:, 2] < fhi[2]))
+        n_fg = jnp.sum(inb.astype(jnp.int32))
+        Nfull = live_v.shape[0]
+        fidx = compaction.rank_select(inb, size=dp.max_fg_verts, fill=Nfull)
+        fok = fidx < Nfull
+        fsafe = jnp.minimum(fidx, Nfull - 1)
+        live_v = jnp.where(fok[:, None], live_v[fsafe], 0.0)
+        live_n = live_v if strict_parity else jnp.where(
+            fok[:, None], live_n[fsafe], 0.0)
+        live_m = fok
+        fg_dropped = jnp.maximum(n_fg - dp.max_fg_verts, 0)
+
     # warp canonical -> live with the PRE-solve field (dyn_fusion.cpp:203).
     # NOTE: this pass (k-NN of canonical verts vs nodes) can NOT be shared
     # with the solver's graph pass — the solver queries the WARPED frame
@@ -323,7 +351,8 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
         blend="dlb" if (dp.solver_rotations and not strict_parity) else "dqb",
         vert_weights=canonical_mult,
     )
-    corr_dropped = jnp.sum((live_m & ~corr_m).astype(jnp.int32))
+    corr_dropped = (jnp.sum((live_m & ~corr_m).astype(jnp.int32))
+                    + fg_dropped)
     stats = FrameStats(solve_stats, mc_dropped, corr_dropped)
     return vol, wf, wv, wn, live_v, live_n, live_m, mesh_verts, n_verts, stats
 
@@ -580,6 +609,8 @@ class DynFusion(KinFu):
         self.warpfield: Optional[wfield.WarpField] = None
         self.canonical: Optional[Frame] = None
         self.canonical_warped: Optional[Frame] = None
+        self._fg_canonical: Optional[Frame] = None
+        self._fg_mult = None
         # canonical dedup state (parity/fixed modes): the canonical is a
         # triangle SOUP (3 verts/triangle, each mesh vertex appears ~6x),
         # fixed at frame 0 — deduplicating once on the host shrinks every
@@ -619,6 +650,51 @@ class DynFusion(KinFu):
             normals = tv.extract_normals(self.vol, verts, self.tsdf_config,
                                          frame="volume")
         return Frame(idx, verts, normals, mask)
+
+    def _fg_enabled(self) -> bool:
+        dp = self.dynfu_params
+        return (dp.fg_aabb is not None and dp.max_fg_verts > 0
+                and self.mode != "fusion")
+
+    def _fg_box_mask(self, v):
+        lo, hi = self.dynfu_params.fg_aabb
+        return ((v[:, 0] >= lo[0]) & (v[:, 0] < hi[0])
+                & (v[:, 1] >= lo[1]) & (v[:, 1] < hi[1])
+                & (v[:, 2] >= lo[2]) & (v[:, 2] < hi[2]))
+
+    def _fg_compact(self, frame: Frame):
+        """One-time host compaction of the deduped canonical to the
+        foreground box (see DynFuParams.fg_aabb): the tracked canonical
+        the per-frame program consumes. The FULL canonical stays in
+        self.canonical for meshes/exports; background vertices warp to
+        ~identity on demand (their node weights vanish)."""
+        import numpy as np
+
+        v = np.asarray(frame.vertices)
+        m = np.asarray(frame.mask)
+        lo, hi = self.dynfu_params.fg_aabb
+        inb = (m & (v[:, 0] >= lo[0]) & (v[:, 0] < hi[0])
+               & (v[:, 1] >= lo[1]) & (v[:, 1] < hi[1])
+               & (v[:, 2] >= lo[2]) & (v[:, 2] < hi[2]))
+        idx = np.nonzero(inb)[0]
+        cap = self.dynfu_params.max_fg_verts
+        if len(idx) > cap:
+            print(f"fg canonical overflow: {len(idx)} > {cap} "
+                  f"(tracking the first {cap})")
+            idx = idx[:cap]
+        fv = np.zeros((cap, 3), np.float32)
+        fv[: len(idx)] = v[idx]
+        fn = np.zeros((cap, 3), np.float32)
+        fn[: len(idx)] = np.asarray(frame.normals)[idx]
+        fm = np.zeros(cap, bool)
+        fm[: len(idx)] = True
+        fmult = None
+        if self.canonical_mult is not None:
+            fmu = np.zeros(cap, np.float32)
+            fmu[: len(idx)] = np.asarray(self.canonical_mult)[idx]
+            fmult = jnp.asarray(fmu)
+        return (Frame(frame.idx, jnp.asarray(fv), jnp.asarray(fn),
+                      jnp.asarray(fm)), fmult)
 
     def _dedup_canonical(self, frame: Frame) -> Frame:
         """ONE-time host dedup of the frame-0 canonical soup.
@@ -767,12 +843,22 @@ class DynFusion(KinFu):
             frame = self._mc_frame(0)
             # node sampling strides the SOUP (dyn_fusion.cpp:151 indexes the
             # raw vertex array) — sample before any dedup
+            node_mask = frame.mask
+            if self._fg_enabled():
+                # foreground tracking: sample nodes from the dynamic box
+                # only — the reference strides the whole soup, which on a
+                # full-scene capture spends ~80% of the node budget on
+                # static background the solve never moves
+                node_mask = frame.mask & self._fg_box_mask(frame.vertices)
             self.warpfield = _sample_nodes(
-                frame.vertices, frame.mask, dp.max_nodes, dp.node_sample_step,
+                frame.vertices, node_mask, dp.max_nodes, dp.node_sample_step,
                 dp.init_node_dg_w_factor * dp.epsilon,
             )
             if self.mode != "fusion":
                 frame = self._dedup_canonical(frame)
+                if self._fg_enabled():
+                    self._fg_canonical, self._fg_mult = \
+                        self._fg_compact(frame)
             else:
                 if dp.fusion_camera_tracking:
                     _, self.prev_live_pyr = self._preprocess(depth_mm)
@@ -853,7 +939,10 @@ class DynFusion(KinFu):
             else:
                 self.poses.append(self.poses[-1])
 
-        c = self.canonical
+        if self._fg_enabled():
+            c, cmult = self._fg_canonical, self._fg_mult
+        else:
+            c, cmult = self.canonical, self.canonical_mult
         pose = self.poses[-1]
         if self._aligned(pose):
             imode = "separable"
@@ -867,7 +956,7 @@ class DynFusion(KinFu):
             depth_mm, pose,
             dp=dp, intr=p.intr, config=self.tsdf_config,
             strict_parity=self.strict_parity, integrate_mode=imode,
-            canonical_mult=self.canonical_mult,
+            canonical_mult=cmult,
         )
         self.canonical_warped = Frame(c.idx, wv, wn, c.mask)
         self.live = Frame(self.frame_counter, live_v, live_n, live_m)
@@ -906,8 +995,21 @@ class DynFusion(KinFu):
         finally:
             self.prev_pyr = saved
 
+    def _full_canonical_warped(self) -> Frame:
+        """canonical_warped at FULL-canonical granularity. With foreground
+        tracking the per-frame program warps only the tracked box, so this
+        warps the full canonical on demand (background vertices see ~zero
+        node weights and stay put) — an export-boundary cost, not a
+        per-frame one."""
+        if not self._fg_enabled():
+            return self.canonical_warped
+        c = self.canonical
+        wv, wn = wfield.warp_points_normals(
+            self.warpfield, c.vertices, c.normals)
+        return Frame(c.idx, wv, wn, c.mask)
+
     def get_canonical_warped_to_live(self) -> Frame:
-        return self._expand_to_soup(self.canonical_warped)
+        return self._expand_to_soup(self._full_canonical_warped())
 
     def warped_cloud(self, unique: bool = False):
         """Current warped canonical vertices (the .pcd export of the demo app,
@@ -920,9 +1022,10 @@ class DynFusion(KinFu):
         262k-row gather, ~190 ms of pure TPU gather time — fine for an
         export, wrong inside a per-frame consumer or a benchmark
         window)."""
+        f = self._full_canonical_warped()
         if unique:
-            return self.canonical_warped.vertices, self.canonical_warped.mask
-        f = self._expand_to_soup(self.canonical_warped)
+            return f.vertices, f.mask
+        f = self._expand_to_soup(f)
         return f.vertices, f.mask
 
     def mesh(self):

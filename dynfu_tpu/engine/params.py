@@ -157,6 +157,17 @@ class DynFuParams:
     # Deviation: the solve sees each unique vertex once instead of
     # soup-multiplicity times (see mesh/edges.py docstring). Default on
     # for >=384-cube caps, off at the reference's own 128-cube config.
+    # foreground tracking (VolumeDeform's own approach to full-scene
+    # captures: restrict the TRACKED set to the dynamic foreground; the
+    # static background — walls, floors — stays in the volume and the
+    # exported mesh but is excluded from warp/correspondence/solve, whose
+    # costs scale with the tracked-set CAPACITY). fg_aabb is a volume-
+    # frame box ((x0,y0,z0),(x1,y1,z1)); vertices outside it are
+    # background. The analog of VolumeDeform's 2D segmentation masks for
+    # scenes where the dynamic region is spatially bounded. Both must be
+    # set; tracked vertices beyond max_fg_verts count into corr_dropped.
+    fg_aabb: tuple | None = None
+    max_fg_verts: int = 0
     max_edge_verts: int = 0  # unique-vertex capacity (0 = max_vertices // 2)
     edge_col_budget: int = 0  # per-z-column budget for the edge extraction
     # (0 = fall back to mc_col_budget, then the truncation-band auto
@@ -336,11 +347,13 @@ class DynFuParams:
                 # run holds 0.37-0.42 mm warped / 1.5 mm canonical through
                 # 16 frames — the ≤1 mm BASELINE bar config.
                 caps["se3_rot_prior"] = 0.3
-                # 2 relinearizations measure accuracy-identical to 3 at
-                # this workload (warped 0.37-0.45 mm both, 16-frame diag)
-                # and cut the solve — the fusion frame's largest stage —
-                # by a third
-                caps["se3_relinearize"] = 2
+                # relinearization count vs accuracy, measured on the
+                # 12-frame 512-cube fusion bench (round 5): 2 steps
+                # 0.441 mm warped / 168 ms frame, 1 step 0.459 mm /
+                # 146 ms — both far inside the ≤1 mm bar, and each step
+                # is a full Gram + assembly + PCG pass (the frame's
+                # largest stage), so the preset takes 1
+                caps["se3_relinearize"] = 1
             return caps
         # correspondence failure-tier capacities also scale down with the
         # surface vertex count: the tiers run at full static capacity every

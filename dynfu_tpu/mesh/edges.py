@@ -149,26 +149,19 @@ def isosurface_edge_vertices(
     uy = jnp.concatenate([used_y, zrow_y], axis=1)  # pad j = Y-1
     allw = jnp.stack([ux, uy, used_z], axis=2).reshape(X * Y * 3, nw)
 
-    K = col_budget or min(64, 4 + 4 * max(1, int(np.ceil(
-        config.trunc_dist / config.voxel_size[2]))))
-    K = min(K, Z)
     fill = X * Y * 3 * Z
-    # column capacity = max_edges exactly: every ACTIVE column holds >= 1
-    # set bit, so in the no-drop regime n_active_cols <= n_edges <=
-    # max_edges — extra column headroom can never capture edges the
-    # max_out cap would not drop anyway, and the compaction's stamp/
-    # cummax/round arrays all scale with max_cols (round 5: 2x max_edges
-    # cost ~2 ms of the 512-cube extraction for zero capture difference).
-    # Column overflow still surfaces in n_dropped via n_captured.
-    # packed_cols: the plain active-column nonzero over X*Y*3 columns was
-    # 16.6 of this extraction's 18 ms (ubench_edges.py); the bit-packed
-    # compaction cuts it 32x (this program compile-checked on TPU — the
-    # opt-in exists because the same nesting OOMs the marching-cubes
-    # compile, see ops/compaction.py)
-    flat_idx, n_total, n_captured = compaction.extract_columns(
-        allw, per_column=K,
-        max_cols=min(X * Y * 3, max(max_edges, 1 << 15)),
-        max_out=max_edges, row_stride=Z, fill=fill, packed_cols=True)
+    # budget-free two-level rank select (ops/compaction.py extract_bits):
+    # no per-column bit budget exists, so z-parallel surfaces (the
+    # umbrella's wall/floor — whole z-columns of edge bits) cost nothing
+    # extra. The former per-column formulation paid budget x max_cols x
+    # nwords word-ops per frame — 13 s at the umbrella's budget-256
+    # preset (round 5). `col_budget` is retained in the signature for
+    # compatibility and ignored; word capacity = max_edges covers the
+    # 1-bit-per-word worst case, and capture stays the ascending scan-
+    # order prefix with n_dropped as the overflow signal.
+    flat_idx, n_total, n_captured = compaction.extract_bits(
+        allw, max_out=max_edges, row_stride=Z, fill=fill,
+        max_words=min(X * Y * 3 * nw, max(max_edges, 1 << 15)))
     ok = flat_idx < fill
     safe = jnp.where(ok, flat_idx, 0)
     c = safe // Z

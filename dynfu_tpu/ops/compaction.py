@@ -98,24 +98,110 @@ def dilate_xy(w3: jnp.ndarray, r: int) -> jnp.ndarray:
     return sweep(sweep(w3, 0), 1)
 
 
-def flat_nonzero(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
-    """First `size` set-bit indices of a 1-D bool mask, ascending, `fill`
+def rank_select(mask: jnp.ndarray, size: int, fill: int) -> jnp.ndarray:
+    """First `size` true indices of a 1-D bool mask, ascending, `fill`
     padded — a drop-in for ``jnp.nonzero(mask, size=..., fill_value=...)[0]``
     that avoids XLA's one-scatter-per-INPUT-element lowering for large
-    masks (~7 ms per million elements on this TPU): the mask is packed to
-    uint32 words, ACTIVE WORDS are compacted with a 32x-smaller nonzero,
-    and bits are extracted with the same LSB rounds as `extract_columns`
-    (capturing `size` active words guarantees >= min(size, n_set) bits —
-    every active word holds at least one)."""
+    masks (~7 ms per million elements on this TPU). Single-level rank
+    select: pack the mask 32x, per-word popcount + exclusive cumsum
+    assigns each active slot its word, and prefix-popcount picks the
+    slot's bit — one small stamp-scatter + VPU blocks, no per-round bit
+    extraction (a 32-round unrolled variant of this measurably OOMed the
+    TPU compile helper when nested inside the fusion frame, round 5)."""
     n = mask.shape[0]
-    if n < (1 << 17):
-        return jnp.nonzero(mask, size=size, fill_value=fill)[0]
-    nw = (n + 31) // 32
-    w = pack_columns(jnp.pad(mask, (0, nw * 32 - n)).reshape(nw, 32))
-    idx, _, _ = extract_columns(
-        w, per_column=32, max_cols=size, max_out=size, row_stride=32,
-        fill=fill)
-    return idx
+    nwm = (n + 31) // 32
+    padded = jnp.pad(mask, (0, nwm * 32 - n))
+    aw = pack_columns(padded.reshape(nwm, 32)).reshape(nwm)
+    cnt = jax.lax.population_count(aw).astype(jnp.int32)
+    off = jnp.cumsum(cnt) - cnt
+    stamp = jnp.where(cnt > 0, off, size)
+    wids = jnp.arange(nwm, dtype=jnp.int32)
+    wstart = jnp.zeros(size, jnp.int32).at[stamp].max(wids + 1, mode="drop")
+    word_of = jax.lax.cummax(wstart) - 1
+    n_act = off[-1] + cnt[-1]
+    slot = jnp.arange(size, dtype=jnp.int32)
+    ok_s = (slot < n_act) & (word_of >= 0)
+    wsafe = jnp.maximum(word_of, 0)
+    rank = slot - off[wsafe]
+    w = aw[wsafe]
+    bits = jnp.arange(32, dtype=jnp.uint32)
+    prefix = jax.lax.population_count(
+        w[:, None] & ((jnp.uint32(1) << bits) - jnp.uint32(1)))
+    isset = jnp.right_shift(w[:, None], bits) & jnp.uint32(1)
+    match = (prefix.astype(jnp.int32) == rank[:, None]) \
+        & (isset == jnp.uint32(1))
+    b = jnp.min(jnp.where(match, jnp.arange(32, dtype=jnp.int32)[None],
+                          jnp.int32(32)), axis=1)
+    idx = wsafe * 32 + b
+    return jnp.where(ok_s & (b < 32) & (idx < n), idx, fill)
+
+
+def extract_bits(
+    occ_w: jnp.ndarray,  # (ncols, nwords) uint32 packed column masks
+    *,
+    max_out: int,  # total output capacity
+    row_stride: int,  # flat index = column_id * row_stride + z
+    fill: int,  # flat index emitted for empty output slots
+    max_words: int = 0,  # active-WORD compaction capacity (0 = max_out)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact set bits into flat indices in dense scan order — the
+    budget-free successor of `extract_columns`.
+
+    Two-level rank select: (1) active WORDS compact through the packed
+    rank-select (stamp scatter sized to the 32x-packed activity mask);
+    (2) every output SLOT finds its (word, rank) by exclusive-cumsum +
+    stamp/cummax over the compacted words and selects its rank-th set bit
+    by prefix popcount. No per-column bit budget exists, so z-parallel
+    surfaces (walls/floors filling whole columns) cost nothing extra —
+    `extract_columns`' per-column rounds made the umbrella's 512-cube
+    extraction pay budget(256) x max_cols x nwords word-ops (~13 s/frame,
+    round 5); here the work scales only with the capacities.
+
+    Returns (flat_idx (max_out,) int32 ascending with `fill` padding,
+    n_total set bits, n_captured <= n_total). Capture is an ascending
+    prefix of scan order; a shortfall means max_words or max_out
+    overflowed.
+    """
+    ncols, nwords = occ_w.shape
+    if max_words <= 0:
+        max_words = max_out
+    wflat = occ_w.reshape(ncols * nwords)
+    n_total = jnp.sum(jax.lax.population_count(wflat).astype(jnp.int32))
+
+    # level 1: indices of active words (ascending)
+    widx = rank_select(wflat != jnp.uint32(0), size=max_words,
+                       fill=ncols * nwords)
+    wok = widx < ncols * nwords
+    wsafe = jnp.where(wok, widx, 0)
+    words = jnp.where(wok, wflat[wsafe], jnp.uint32(0))  # (max_words,)
+
+    # level 2: per-slot (word, rank) by exclusive cumsum + stamp/cummax
+    cnt = jax.lax.population_count(words).astype(jnp.int32)
+    off = jnp.cumsum(cnt) - cnt
+    n_captured = jnp.minimum(off[-1] + cnt[-1], max_out)
+    stamp = jnp.where(cnt > 0, off, max_out)
+    wids = jnp.arange(max_words, dtype=jnp.int32)
+    wstart = jnp.zeros(max_out, jnp.int32).at[stamp].max(
+        wids + 1, mode="drop")
+    word_of = jax.lax.cummax(wstart) - 1
+    slot = jnp.arange(max_out, dtype=jnp.int32)
+    ok_s = (slot < n_captured) & (word_of >= 0)
+    wsel = jnp.maximum(word_of, 0)
+    rank = slot - off[wsel]
+    w = words[wsel]
+    bits = jnp.arange(32, dtype=jnp.uint32)
+    prefix = jax.lax.population_count(
+        w[:, None] & ((jnp.uint32(1) << bits) - jnp.uint32(1)))
+    isset = jnp.right_shift(w[:, None], bits) & jnp.uint32(1)
+    match = (prefix.astype(jnp.int32) == rank[:, None]) \
+        & (isset == jnp.uint32(1))
+    b = jnp.min(jnp.where(match, jnp.arange(32, dtype=jnp.int32)[None],
+                          jnp.int32(32)), axis=1)
+    flat_word = wsafe[wsel]  # flat word index = c * nwords + wz
+    c = flat_word // nwords
+    z = (flat_word - c * nwords) * 32 + b
+    flat_idx = jnp.where(ok_s & (b < 32), c * row_stride + z, fill)
+    return flat_idx, n_total, n_captured
 
 
 def extract_columns(

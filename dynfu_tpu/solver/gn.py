@@ -256,7 +256,13 @@ def solve(
         def precond(r):
             return inv_diag[:, None] * r
 
-        r0 = b - _mm(A, t_init)
+        def matvec(M, q):
+            # (D, D) x (D, 3) as a VPU broadcast-reduce: the MXU matvec
+            # pads the 3 output columns to a 128-wide tile x 6 HIGHEST
+            # passes (see solver/se3.py _matvec); f32 elementwise is exact
+            return jnp.sum(M[:, :, None] * q[None, :, :], axis=1)
+
+        r0 = b - matvec(A, t_init)
         z0 = precond(r0)
         rz0 = jnp.vdot(r0, z0)
 
@@ -272,7 +278,7 @@ def solve(
         def step(state):
             t, r, z, p, rz, i = state
             active = rz > cg_tol  # freeze converged state inside the unroll
-            ap = _mm(A, p)
+            ap = matvec(A, p)
             denom = jnp.vdot(p, ap)
             alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
             t2 = t + alpha * p
@@ -327,7 +333,8 @@ def solve(
         t, iters = pcg(A, b, t)
         c0 = jnp.sum(s2_k[:, None] * delta * delta)
         cost0 = c0  # cost at t=0 under these weights
-        costt = c0 - 2.0 * jnp.vdot(t, b) + jnp.vdot(t, _mm(A, t))
+        costt = c0 - 2.0 * jnp.vdot(t, b) + jnp.vdot(
+            t, jnp.sum(A[:, :, None] * t[None, :, :], axis=1))
         return t, iters, cost0, costt
 
     def huber_mean(t_cur):

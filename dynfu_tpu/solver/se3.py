@@ -199,9 +199,14 @@ def _assemble_reg(wf, reg_idx, edge_mask, reg_w2, D, chunk: int = 2048,
     """Reg normal equations from the SE(3)-linearized DynamicFusion term
     r_kj = T_k(p_j) - T_j(p_j): (A_reg (D,6,D,6), b_reg (D,6), cost0).
 
-    Edge rows J_e are 3 x 6D with two nonzero blocks ([I | -[t_k(p_j)-p_k]x]
-    at k, -[I | -[t_j(p_j)-p_j]x] at j); D*KNN edges afford chunked dense
-    strips contracted on the MXU.
+    Edge rows J_e are 3 x 6D with only two nonzero blocks ([I |
+    -[t_k(p_j)-p_k]x] at k, -[I | -[t_j(p_j)-p_j]x] at j). Round 4
+    contracted chunked DENSE (3c, 6D) strips on the MXU — ~90 GMACs per
+    chunk for 12 nonzeros/row (~15-30 ms of every solve at D=640). The
+    edges are naturally (D, K)-shaped (edge (k, r) joins k to
+    reg_idx[k, r]), so the assembly needs only the batched 6x6 block
+    products and, for the j-side placements, K one-hot (D, D) broadcasts /
+    small matmuls — no dense strip ever exists.
 
     psi_reg > 0 applies the DynamicFusion paper's Huber weight on each
     edge's CURRENT disagreement (w_e = 1 below psi, psi/|r| above) — the
@@ -217,53 +222,52 @@ def _assemble_reg(wf, reg_idx, edge_mask, reg_w2, D, chunk: int = 2048,
         e = jnp.linalg.norm(yk - yj, axis=-1)  # (D, K)
         hw = jnp.where(e <= psi_reg, 1.0,
                        psi_reg / jnp.maximum(e, 1e-30))
-        edge_mask = edge_mask * jnp.sqrt(hw)  # folded into the strip rows
+        edge_mask = edge_mask * jnp.sqrt(hw)  # folded into the edge rows
     r0 = (yk - yj) * edge_mask[..., None]  # (D, K, 3)
 
-    E = reg_idx.shape[0] * K
-    k_idx = jnp.broadcast_to(jnp.arange(reg_idx.shape[0])[:, None],
-                             reg_idx.shape).reshape(E)
-    j_idx = reg_idx.reshape(E)
-    Gk = jnp.concatenate(  # (E, 3, 6)
-        [jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (E, 3, 3)),
-         -_skew((yk - pos[:, None, :]).reshape(E, 3))], -1)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    # edge-masked Jacobian blocks in (D, K, 3, 6) layout; folding the mask
+    # into BOTH blocks squares it in every product, matching the strip
+    # formulation exactly
+    em = edge_mask[..., None, None]
+    Gk = jnp.concatenate(
+        [jnp.broadcast_to(eye3, (D, K, 3, 3)),
+         -_skew(yk - pos[:, None, :])], -1) * em
     Gj = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (E, 3, 3)),
-         -_skew((yj - n_pos).reshape(E, 3))], -1)
-    em = edge_mask.reshape(E)
-    r0f = r0.reshape(E, 3)
+        [jnp.broadcast_to(eye3, (D, K, 3, 3)), -_skew(yj - n_pos)], -1) * em
 
-    pad = (-E) % chunk
-    k_p = jnp.pad(k_idx, (0, pad))
-    j_p = jnp.pad(j_idx, (0, pad))
-    gk_p = jnp.pad(Gk, ((0, pad), (0, 0), (0, 0)))
-    gj_p = jnp.pad(Gj, ((0, pad), (0, 0), (0, 0)))
-    em_p = jnp.pad(em, (0, pad))
-    r_p = jnp.pad(r0f, ((0, pad), (0, 0)))
-    nch = k_p.shape[0] // chunk
-    iota = jnp.arange(D, dtype=reg_idx.dtype)
+    # batched 6x6 block products (D*K small contractions, VPU-sized)
+    Mkk = jnp.einsum("dkai,dkaj->dkij", Gk, Gk, precision=_hi)
+    Mkj = jnp.einsum("dkai,dkaj->dkij", Gk, Gj, precision=_hi)
+    Mjj = jnp.einsum("dkai,dkaj->dkij", Gj, Gj, precision=_hi)
+    bk = jnp.einsum("dkai,dka->di", Gk, r0, precision=_hi)  # (D, 6)
+    bj = jnp.einsum("dkai,dka->dki", Gj, r0, precision=_hi)  # (D, K, 6)
 
-    def body(c, carry):
-        A, b = carry
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
-        kc, jc, gkc, gjc, emc, rc = (sl(k_p), sl(j_p), sl(gk_p), sl(gj_p),
-                                     sl(em_p), sl(r_p))
-        ohk = (kc[:, None] == iota[None, :]).astype(jnp.float32)
-        ohj = (jc[:, None] == iota[None, :]).astype(jnp.float32)
-        # strip (chunk, 3, D, 6): k block minus j block, edge-masked
-        S = (ohk[:, None, :, None] * gkc[:, :, None, :]
-             - ohj[:, None, :, None] * gjc[:, :, None, :])
-        S = (S * emc[:, None, None, None]).reshape(chunk * 3, D * 6)
-        A = A + _mm_asm(S.T, S)
-        b = b - _mm_asm(S.T, rc.reshape(chunk * 3, 1))
-        return A, b
+    didx = jnp.arange(D)
+    OH = (reg_idx[..., None] == didx).astype(jnp.float32)  # (D, K, D)
+    # cross blocks: A[d, l] -= sum_{r: idx[d,r]=l} Mkj[d, r] (+ transpose)
+    cross = jnp.einsum("drl,drij->dlij", OH, Mkj, precision=_hi)
+    A = -cross - jnp.transpose(cross, (1, 0, 3, 2))
+    # diagonals: own-row blocks at k, neighbor blocks segment-summed at j
+    diag = (jnp.sum(Mkk, axis=1)
+            + jnp.einsum("drl,drij->lij", OH, Mjj, precision=_hi))
+    A = A.at[didx, didx].add(diag)
+    A = jnp.swapaxes(A, 1, 2)  # (D, 6, D, 6)
+    # rhs: b = sum_e S^T r (k block +Gk^T r, j block -Gj^T r)
+    b = bk - jnp.einsum("drl,dri->li", OH, bj, precision=_hi)
 
-    A0 = jnp.zeros((D * 6, D * 6), jnp.float32)
-    b0 = jnp.zeros((D * 6, 1), jnp.float32)
-    A, b = jax.lax.fori_loop(0, nch, body, (A0, b0))
     cost0 = jnp.sum(r0 * r0)
-    return (reg_w2 * A.reshape(D, 6, D, 6),
-            reg_w2 * b.reshape(D, 6), reg_w2 * cost0)
+    return reg_w2 * A, -reg_w2 * b, reg_w2 * cost0
+
+
+def _matvec(A, p):
+    """A @ p for a single right-hand vector as a VPU broadcast-reduce.
+
+    A (n, n) x (n,) on the MXU pads the single output column to the
+    128-wide tile AND runs 6 bf16 passes at HIGHEST — ~11 GFLOP per
+    matvec at n = 3840 for 14.7M useful MACs. The f32 elementwise
+    multiply + row reduction is traffic-bound (one read of A) and exact."""
+    return jnp.sum(A * p[None, :], axis=1)
 
 
 def _pcg(A, b, x0, linear_iter: int, cg_tol: float):
@@ -273,7 +277,7 @@ def _pcg(A, b, x0, linear_iter: int, cg_tol: float):
     diag = jnp.diagonal(A)
     inv_diag = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
 
-    r0 = b - _mm(A, x0)
+    r0 = b - _matvec(A, x0)
     z0 = inv_diag * r0
     rz0 = jnp.vdot(r0, z0)
     UNROLL = 8
@@ -285,7 +289,7 @@ def _pcg(A, b, x0, linear_iter: int, cg_tol: float):
     def step(state):
         x, r, z, p, rz, i = state
         active = rz > cg_tol
-        ap = _mm(A, p)
+        ap = _matvec(A, p)
         denom = jnp.vdot(p, ap)
         alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
         x2 = x + alpha * p

@@ -107,21 +107,19 @@ def integrate_warped(
         bw = compaction.dilate_z(bw, dilate, Z)
         bw = compaction.dilate_xy(bw, dilate)
     nwords = bw.shape[-1]
-    # col_budget overrides the truncation-band estimate for scenes whose
-    # z-columns fill up (z-parallel planes like floors; n_captured < n_band
-    # is the signal) — same pathology/knob as marching_cubes
-    per_col = min(col_budget or band_budget(config, dilate), Z)
-    flat_idx, n_band, n_captured = compaction.extract_columns(
+    # budget-free two-level rank select (ops/compaction.py extract_bits):
+    # no per-column budget to overflow, so floor/wall scenes (z-parallel
+    # surfaces filling whole columns) need no `col_budget` override —
+    # that knob is retained in the signature and ignored. Word capacity:
+    # the band's z-runs average ~11 bits/word (measured at 512-cube), so
+    # max_active // 4 words covers down to 4 bits/word before the
+    # n_captured < n_band signal fires.
+    flat_idx, n_band, n_captured = compaction.extract_bits(
         bw.reshape(X * Y, nwords),
-        per_column=per_col,
-        max_cols=min(X * Y, max(max_active // 8, 1 << 15)),
         max_out=max_active,
         row_stride=Z,
         fill=X * Y * Z,
-        # rank-select active-column compaction (ops/compaction.py): the
-        # plain nonzero costs one scatter per X*Y input element; this
-        # program compile-checked on TPU with packed_cols
-        packed_cols=True,
+        max_words=min(X * Y * nwords, max(max_active // 4, 1 << 15)),
     )
     ok = flat_idx < X * Y * Z
     safe = jnp.where(ok, flat_idx, 0)
@@ -179,15 +177,43 @@ def integrate_warped(
     in_img = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (vcz > 0)
     ui = jnp.clip(ui, 0, W - 1)
     vi = jnp.clip(vi, 0, H - 1)
-    Dp = dists.astype(jnp.float32)[vi, ui]
+    if normals is not None and min_cos > 0.0:
+        # ray/normal obliquity as a PER-PIXEL map: the voxel's view ray
+        # -vc/|vc| is the (u, v) pixel ray, so using the floor'd pixel's
+        # central ray instead changes the cosine by <= 1px/f ~ 0.002 —
+        # far below the gate scale. The f16 cos map rides the HIGH 16
+        # bits of a packed u32 image with the f16 dists in the low bits,
+        # so depth + obliquity arrive in ONE per-voxel element gather
+        # (was: a 3-channel normals gather + a separate dists gather —
+        # element gathers are this chip's slowest op and the band is
+        # ~0.5M voxels).
+        xs_r = (jnp.arange(W, dtype=jnp.float32) - intr.cx) / intr.fx
+        ys_r = (jnp.arange(H, dtype=jnp.float32) - intr.cy) / intr.fy
+        rn = jnp.sqrt(xs_r[None, :] ** 2 + ys_r[:, None] ** 2 + 1.0)
+        cos_img = -(xs_r[None, :] * normals[..., 0]
+                    + ys_r[:, None] * normals[..., 1]
+                    + normals[..., 2]) / rn  # (H, W), NaN at invalid pixels
+        d_bits = jax.lax.bitcast_convert_type(
+            dists.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        c_bits = jax.lax.bitcast_convert_type(
+            cos_img.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        packed = d_bits | jnp.left_shift(c_bits, jnp.uint32(16))
+        pg = packed[vi, ui]
+        Dp = jax.lax.bitcast_convert_type(
+            (pg & jnp.uint32(0xFFFF)).astype(jnp.uint16),
+            jnp.float16).astype(jnp.float32)
+        cos_view = jax.lax.bitcast_convert_type(
+            jnp.right_shift(pg, jnp.uint32(16)).astype(jnp.uint16),
+            jnp.float16).astype(jnp.float32)
+    else:
+        Dp = dists.astype(jnp.float32)[vi, ui]
+        cos_view = None
     rnorm = jnp.sqrt(vcx * vcx + vcy * vcy + vcz * vcz)
     sdf = Dp - rnorm
 
     update = (ok & supported & in_img & (Dp != 0)
               & (sdf >= -config.trunc_dist))
-    if normals is not None and min_cos > 0.0:
-        n_pix = normals[vi, ui]  # camera frame, oriented toward the camera
-        cos_view = -jnp.sum(vc * n_pix, axis=-1) / jnp.maximum(rnorm, 1e-9)
+    if cos_view is not None:
         update = update & jnp.isfinite(cos_view) & (cos_view > min_cos)
         # (a projective-SDF cosine debias — sdf *= cos(ray, normal) — was
         # measured here: no improvement on the accuracy benchmarks, and it
@@ -198,7 +224,7 @@ def integrate_warped(
     tsdf_prev = F16[vx, vy, vz].astype(jnp.float32)
     w_prev = Wu8[vx, vy, vz].astype(jnp.float32)
     tsdf_in = jnp.minimum(1.0, sdf * trunc_inv)
-    if normals is not None and min_cos > 0.0:
+    if cos_view is not None:
         # confidence-weighted pull: grazing observations (small ray-normal
         # cosine — motion edges, silhouette rims) contribute their value
         # at reduced strength. Weights stay the reference's uint8 counter,

@@ -160,3 +160,28 @@ def test_extract_columns_packed_cols_equivalence():
             row_stride=nwords * 32, fill=-7, packed_cols=True)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_rank_select_matches_nonzero():
+    """rank_select (ops/compaction.py) — the single-level set-bit index
+    compaction behind foreground tracking (engine/dynfusion.py fg_aabb) —
+    must match jnp.nonzero exactly, including ascending-prefix truncation
+    on overflow and fill padding."""
+    from dynfu_tpu.ops import compaction
+
+    rng = np.random.RandomState(7)
+    for n, density in [(100, 0.3), (4096, 0.01), (200_000, 0.002),
+                       (65, 1.0), (64, 0.0)]:
+        m = rng.rand(n) < density
+        want = np.nonzero(m)[0]
+        size = int(len(want)) + 5
+        got = np.asarray(compaction.rank_select(
+            jnp.asarray(m), size=size, fill=n))
+        np.testing.assert_array_equal(got[:len(want)], want)
+        assert np.all(got[len(want):] == n)
+        # overflow truncates to the ascending prefix
+        if len(want) >= 2:
+            small = max(1, len(want) // 2)
+            got2 = np.asarray(compaction.rank_select(
+                jnp.asarray(m), size=small, fill=n))
+            np.testing.assert_array_equal(got2, want[:small])

@@ -169,6 +169,55 @@ def test_dynfusion_bootstrap_and_track():
         assert np.median(werr) < 0.008, f"frame {i+1} median {np.median(werr)}"
 
 
+def test_dynfusion_foreground_tracking():
+    """fg_aabb foreground tracking (VolumeDeform's masks, as a volume box):
+    a deforming sphere in front of a static far wall. The tracked set is
+    compacted to the box, so correspondence/solve scale with it; the wall
+    stays in the canonical, is exported by warped_cloud, and does NOT move
+    (its vertices see ~zero node weights). Nodes are sampled from the
+    foreground only."""
+    import dataclasses
+
+    # wall: fronto-parallel plane at 1.1 m filling the whole image
+    def scene(center):
+        s = sphere_depth(center, RADIUS)
+        wall = np.full_like(s, 1100)
+        return np.where(s > 0, s, wall)
+
+    # volume spans z in [0.25, 1.25] -> wall z_vol = 0.85; box z < 0.8
+    params = dataclasses.replace(
+        small_dynfu_params(),
+        fg_aabb=((0.0, 0.0, 0.0), (1.0, 1.0, 0.6)),
+        # the live tracked set is the SOUP at this small config (unique
+        # edges default off < 384-cube): ~4.9k soup verts in the box
+        max_fg_verts=1 << 13, node_sample_step=16)
+    df = DynFusion(params)
+    assert df(scene(CENTER)) is False
+    # nodes sampled from the foreground box only
+    pos = np.asarray(df.warpfield.pos)[np.asarray(df.warpfield.mask)]
+    assert pos.shape[0] > 3 and np.all(pos[:, 2] < 0.6)
+    # the tracked canonical is the compacted box subset
+    assert df._fg_canonical.vertices.shape[0] == 1 << 13
+    n_fg = int(jnp.sum(df._fg_canonical.mask))
+    assert 0 < n_fg <= 1 << 13
+
+    for i, dx in enumerate((0.005, 0.010)):
+        center_i = (CENTER[0] + dx, CENTER[1], CENTER[2])
+        assert df(scene(center_i)) is True
+        assert int(df.last_frame_stats.corr_dropped) == 0  # no fg overflow
+        wv, wmask = df.warped_cloud()
+        wv, wmask = np.asarray(wv), np.asarray(wmask)
+        cen_i_vol = np.asarray(center_i) - np.asarray((-0.5, -0.5, 0.25))
+        # foreground tracked
+        fg = wmask & (wv[:, 2] < 0.6) & (wv[:, 2] > 0.0)
+        err = np.abs(np.linalg.norm(wv[fg] - cen_i_vol, axis=-1) - RADIUS)
+        assert np.median(err) < 0.008, f"frame {i+1}: {np.median(err)}"
+        # background untouched: wall vertices stay on the wall plane
+        bg = wmask & (wv[:, 2] > 0.8)
+        assert bg.sum() > 100
+        assert float(np.abs(wv[bg, 2] - 0.85).max()) < 0.02
+
+
 def test_dynfusion_node_insertion_for_unsupported_canonical():
     """Warpfield::update inserts nodes where the WARPED CANONICAL frame is
     unsupported (min_k dist/dg_w >= 1) — the reference updates from
