@@ -427,6 +427,8 @@ def run_umbrella_benchmark(
     rows: int = 480,
     cols: int = 640,
     seq_frames: int = 16,
+    warmup: int = 3,
+    foreground: bool = True,
 ) -> dict:
     """Accuracy + throughput on the vendored umbrella sequence
     (io/kinect_sim.py): a genuinely non-rigid scene (breathing scalloped
@@ -472,25 +474,33 @@ def run_umbrella_benchmark(
         # counts into corr_dropped, which this benchmark reports.
         params = dataclasses.replace(
             params, max_edge_verts=1 << 19, edge_col_budget=256,
-            fg_aabb=((0.9, 0.8, 0.25), (2.1, 2.045, 1.6)),
-            max_fg_verts=1 << 15)
+            fg_aabb=((0.9, 0.8, 0.25), (2.1, 2.045, 1.6))
+            if foreground else None,
+            max_fg_verts=(1 << 15) if foreground else 0)
     engine = DynFusion(params, mode=mode)
 
     _frames = [kinect_sim.umbrella_frame(i, frames=seq_frames, h=rows,
                                          w=cols)
-               for i in range(frames)]
-    engine(_frames[0])
+               for i in range(warmup + frames)]
+    # WARMUP outside the timed window, like every other bench here: the
+    # engine's first k>=1 frames compile/deserialize several large
+    # programs (round-5 measurement: frames 0-2 cost 25-42 s each on a
+    # warm persistent cache, frames 3+ run at ~120 ms) — the r4 umbrella
+    # row timed from frame 1 and was compile-dominated, not
+    # correspondence-bound as then believed.
+    for i in range(warmup):
+        engine(_frames[i])
     wv, _ = engine.warped_cloud()
     sync(wv)
     t0 = time.perf_counter()
-    for i in range(1, frames):
+    for i in range(warmup, warmup + frames):
         engine(_frames[i])
     wv, wm = engine.warped_cloud()
     sync(wv)
-    dt = (time.perf_counter() - t0) / (frames - 1)
+    dt = (time.perf_counter() - t0) / frames
 
     # visible-surface depth error vs the exact geometry at the live phase
-    z_clean = kinect_sim.render_umbrella((frames - 1) / seq_frames,
+    z_clean = kinect_sim.render_umbrella((warmup + frames - 1) / seq_frames,
                                          h=rows, w=cols)
     v = np.asarray(wv)[np.asarray(wm)]
     vol_t = np.asarray(engine.vol.pose_t)
