@@ -150,18 +150,31 @@ def isosurface_edge_vertices(
     allw = jnp.stack([ux, uy, used_z], axis=2).reshape(X * Y * 3, nw)
 
     fill = X * Y * 3 * Z
-    # budget-free two-level rank select (ops/compaction.py extract_bits):
-    # no per-column bit budget exists, so z-parallel surfaces (the
-    # umbrella's wall/floor — whole z-columns of edge bits) cost nothing
-    # extra. The former per-column formulation paid budget x max_cols x
-    # nwords word-ops per frame — 13 s at the umbrella's budget-256
-    # preset (round 5). `col_budget` is retained in the signature for
-    # compatibility and ignored; word capacity = max_edges covers the
-    # 1-bit-per-word worst case, and capture stays the ascending scan-
-    # order prefix with n_dropped as the overflow signal.
-    flat_idx, n_total, n_captured = compaction.extract_bits(
-        allw, max_out=max_edges, row_stride=Z, fill=fill,
-        max_words=min(X * Y * 3 * nw, max(max_edges, 1 << 15)))
+    K = min(col_budget, Z)  # 0 = no budget -> the budget-free path below
+    if 0 < K <= 32:
+        # SMALL per-column budgets (the sphere presets' edge_col_budget=8,
+        # measured max 3 bits/column): the per-column rank-select + K
+        # unrolled LSB rounds stays ~2 ms cheaper at 512-cube than
+        # extract_bits, whose level-1 stamp scatter scales with the
+        # 32x-packed WORD-activity mask (X*Y*3*nw/32 inputs). Column
+        # capacity = max_edges (every active column holds >= 1 bit, so in
+        # the no-drop regime n_cols <= n_edges); budget overflow surfaces
+        # in n_dropped.
+        flat_idx, n_total, n_captured = compaction.extract_columns(
+            allw, per_column=K,
+            max_cols=min(X * Y * 3, max(max_edges, 1 << 15)),
+            max_out=max_edges, row_stride=Z, fill=fill, packed_cols=True)
+    else:
+        # budget-free two-level rank select (ops/compaction.py
+        # extract_bits): no per-column bit budget exists, so z-parallel
+        # surfaces (the umbrella's wall/floor — whole z-columns of edge
+        # bits) cost nothing extra. The budget-256 formulation paid
+        # budget x max_cols x nwords word-ops per frame here (round 5).
+        # Capture is the ascending scan-order prefix either way, so the
+        # two paths agree bit-for-bit whenever neither drops.
+        flat_idx, n_total, n_captured = compaction.extract_bits(
+            allw, max_out=max_edges, row_stride=Z, fill=fill,
+            max_words=min(X * Y * 3 * nw, max(max_edges, 1 << 15)))
     ok = flat_idx < fill
     safe = jnp.where(ok, flat_idx, 0)
     c = safe // Z

@@ -42,9 +42,13 @@ def main():
         run("fusion_512_se3_movingcam", lambda: run_fusion_benchmark(
             volume_dims=512, rotations=True, camera_motion=0.002))
         run("umbrella_512", lambda: run_umbrella_benchmark(volume_dims=512))
+        run("umbrella_512_fullscene", lambda: run_umbrella_benchmark(
+            volume_dims=512, foreground=False))
         from dynfu_tpu.utils.benchmarks import run_fusion_stage_benchmark
         run("fusion_stage_512", lambda: run_fusion_stage_benchmark(
             volume_dims=512))
+        # scripts/diag/tpu_kernel_path_cert.py is run SEPARATELY (its own
+        # process would overlap this one's TPU session)
 
 
 if __name__ == "__main__":
