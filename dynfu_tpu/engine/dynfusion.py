@@ -508,6 +508,7 @@ def _fusion_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
             relinearize=dp.se3_relinearize, incremental=True,
             rot_prior=dp.se3_rot_prior, trans_prior=dp.se3_trans_prior,
+            similarity_reg=dp.se3_similarity_reg,
             min_update=dp.fusion_min_update_vox * min(config.voxel_size),
             # trust region tied to the association gate: every data target
             # is within fusion_corr_dist of its warped vertex, so a larger

@@ -204,6 +204,13 @@ class DynFuParams:
     # wired (energy.t:30,78). fusion/fixed modes only; parity keeps the
     # reference's translations-only solve.
     se3_relinearize: int = 3  # Gauss-Newton relinearizations per frame
+    se3_similarity_reg: bool = False  # marginalize a global uniform-scale
+    # mode out of the SE(3) reg (solver/se3.py _assemble_reg): for scene
+    # classes whose dominant deformation is expansion/contraction
+    # (breathing objects), the ARAP-style reg otherwise prices the
+    # irreducible inter-node disagreement ~ scale_rate x node_spacing of
+    # any rigid-per-node approximation. Opt-in: a modeling choice like
+    # psi/lambda, declared per workload
     fusion_warmup_frames: int = 0  # fusion-mode frames after bootstrap
     # whose observations integrate WITHOUT a solve (identity updates).
     # Accuracy knob for sequences that START at rest: the first frames'

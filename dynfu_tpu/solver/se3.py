@@ -195,7 +195,7 @@ def _assemble_data(B, Bu, Bw, pos, D):
 
 
 def _assemble_reg(wf, reg_idx, edge_mask, reg_w2, D, chunk: int = 2048,
-                  psi_reg: float = 0.0):
+                  psi_reg: float = 0.0, similarity: bool = False):
     """Reg normal equations from the SE(3)-linearized DynamicFusion term
     r_kj = T_k(p_j) - T_j(p_j): (A_reg (D,6,D,6), b_reg (D,6), cost0).
 
@@ -255,6 +255,33 @@ def _assemble_reg(wf, reg_idx, edge_mask, reg_w2, D, chunk: int = 2048,
     A = jnp.swapaxes(A, 1, 2)  # (D, 6, D, 6)
     # rhs: b = sum_e S^T r (k block +Gk^T r, j block -Gj^T r)
     b = bk - jnp.einsum("drl,dri->li", OH, bj, precision=_hi)
+
+    if similarity:
+        # SIMILARITY-MODE reg: marginalize a global uniform-scale mode out
+        # of the reg quadratic. A per-node RIGID field approximates a
+        # uniform expansion with irreducible inter-node disagreement
+        # r_kj ~ sigma (p_k - p_j) (sigma = scale rate), which the
+        # ARAP-style term prices — measured as the moving-camera fusion
+        # benchmark's dominant residual (under-tracked breathing,
+        # RESULTS round 4/5). Augmenting the linearized reg with a scalar
+        # sigma whose per-edge residual derivative is d_e = p_k - p_j
+        # (both endpoints shift by sigma (p - c); c cancels) and
+        # marginalizing it exactly is a rank-1 downdate of (A, b):
+        #   A -= (J^T d)(J^T d)^T / (d^T d),  b adjusts with (d^T r0).
+        # Local incoherence is still fully priced; only the single
+        # coherent-scale direction rides free (the data term determines
+        # the actual scale).
+        d_e = (pos[:, None, :] - n_pos) * edge_mask[..., None]  # (D, K, 3)
+        Jtd_k = jnp.einsum("dkai,dka->di", Gk, d_e, precision=_hi)
+        Jtd_j = jnp.einsum("dkai,dka->dki", Gj, d_e, precision=_hi)
+        Jtd = Jtd_k - jnp.einsum("drl,dri->li", OH, Jtd_j, precision=_hi)
+        dtd = jnp.sum(d_e * d_e)
+        dtr = jnp.sum(d_e * r0)
+        inv = jnp.where(dtd > 1e-12, 1.0 / jnp.maximum(dtd, 1e-12), 0.0)
+        v = Jtd.reshape(D * 6)
+        A = (A.reshape(D * 6, D * 6)
+             - inv * v[:, None] * v[None, :]).reshape(D, 6, D, 6)
+        b = b - (inv * dtr) * Jtd
 
     cost0 = jnp.sum(r0 * r0)
     return reg_w2 * A, -reg_w2 * b, reg_w2 * cost0
@@ -333,7 +360,7 @@ def _exp_update_dq(xi, pos):
     static_argnames=("tukey_offset", "psi_data", "lambda_reg", "psi_reg",
                      "linear_iter", "cg_tol", "knn_k", "relinearize",
                      "min_update", "max_update", "incremental", "rot_prior",
-                     "trans_prior"),
+                     "trans_prior", "similarity_reg"),
 )
 def solve(
     wf: wfield.WarpField,
@@ -354,6 +381,7 @@ def solve(
     incremental: bool = False,
     rot_prior: float = 0.03,
     trans_prior: float = 0.0,
+    similarity_reg: bool = False,
 ):
     """SE(3) warp solve: (updated WarpField, Se3Stats).
 
@@ -445,7 +473,8 @@ def solve(
             B, Bu, Bw = _monomial_grams(data_idx, data_w, s2, y_c, delta, D)
         A_d, b_d = _assemble_data(B, Bu, Bw, pos_c, D)
         A_r, b_r, _ = _assemble_reg(wf_cur, reg_idx, edge_mask, reg_w2, D,
-                                    psi_reg=psi_reg)
+                                    psi_reg=psi_reg,
+                                    similarity=similarity_reg)
         A = (A_d + A_r).reshape(D * 6, D * 6)
         b = (b_d + b_r).reshape(D * 6)
         if trans_prior > 0.0:

@@ -264,6 +264,7 @@ def run_fusion_benchmark(
     cols: int = 640,
     rotations: bool = False,
     camera_motion: float = 0.0,
+    similarity_reg: bool = False,
 ) -> dict:
     """Persistent-canonical fusion mode (mode="fusion"): the DynamicFusion
     fusion model the reference scaffolded but never built
@@ -289,6 +290,7 @@ def run_fusion_benchmark(
                           volume_dims=(volume_dims,) * 3),
         solver_rotations=rotations,
         fusion_camera_tracking=camera_motion != 0.0,
+        se3_similarity_reg=similarity_reg,
         **caps,
     )
     # moving camera: the scene must make camera motion and deformation

@@ -154,3 +154,59 @@ def test_gn_max_update_trust_region_rejects_rogue_steps():
     warped, _ = wfield.warp_points_normals(wf3, verts, verts)
     err = np.linalg.norm(np.asarray(warped - live_ok), axis=-1)
     assert np.median(err) < 5e-4
+
+
+def test_se3_similarity_reg_frees_the_coherent_scale_mode():
+    """similarity_reg (solver/se3.py _assemble_reg): marginalizing the
+    global uniform-scale mode out of the reg quadratic. With node
+    transforms carrying EXACTLY a uniform expansion (t_k = sigma p_k
+    about the origin), the inter-node reg residual is r_kj = sigma
+    (p_k - p_j) — entirely inside the marginalized mode — so the
+    similarity assembly's rhs pull must vanish (the reg stops fighting
+    the expansion) while the plain ARAP assembly pulls hard against it.
+    A pure-translation field (zero reg residual) is untouched by the
+    downdate, and the downdated matrix stays PSD."""
+    rng = np.random.RandomState(11)
+    D, K = 16, 4
+    pos = rng.randn(D, 3).astype(np.float32) * 0.3
+    sigma = 0.05
+    # node DQs = pure translations t_k = sigma * p_k (expansion about 0)
+    dqs = np.zeros((D, 8), np.float32)
+    dqs[:, 0] = 1.0
+    dqs[:, 5:8] = 0.5 * sigma * pos  # dual part of Trans(t): (0, t/2)
+    wf = wfield.WarpField(
+        pos=jnp.asarray(pos), dqs=jnp.asarray(dqs),
+        w=jnp.full(D, 0.2, jnp.float32), mask=jnp.ones(D, bool),
+        count=jnp.asarray(D, jnp.int32))
+    reg_idx = jnp.asarray(rng.randint(0, D, (D, K)).astype(np.int32))
+    em = jnp.ones((D, K), jnp.float32)
+
+    A_p, b_p, _ = se3._assemble_reg(wf, reg_idx, em, 1.0, D)
+    A_s, b_s, _ = se3._assemble_reg(wf, reg_idx, em, 1.0, D,
+                                    similarity=True)
+    # plain reg pulls against the expansion; similarity pull vanishes
+    nb_p = float(np.linalg.norm(np.asarray(b_p)))
+    nb_s = float(np.linalg.norm(np.asarray(b_s)))
+    assert nb_p > 1e-3, nb_p
+    assert nb_s < 1e-5 * max(nb_p, 1.0), (nb_s, nb_p)
+    # downdated matrix stays PSD (exact Schur complement of a PSD system)
+    w_eig = np.linalg.eigvalsh(np.asarray(A_s).reshape(D * 6, D * 6))
+    assert w_eig.min() > -1e-4, w_eig.min()
+
+    # end-to-end control: a pure translation solves as accurately with
+    # the flag as without (no scale content to free)
+    d = rng.randn(24, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wf2 = wfield.init_warpfield(0.3 * d,
+                                weights=np.full(24, 0.3, np.float32),
+                                capacity=32)
+    vd = rng.randn(400, 3).astype(np.float32)
+    vd /= np.linalg.norm(vd, axis=1, keepdims=True)
+    verts = jnp.asarray(0.3 * vd)
+    live_t = verts + np.asarray([0.01, -0.004, 0.006], np.float32)
+    wf3, _ = se3.solve(wf2, verts, live_t, relinearize=2,
+                       lambda_reg=200.0, similarity_reg=True)
+    warped_t, _ = wfield.warp_points_normals_dlb(wf3, verts, verts)
+    err_t = np.median(np.linalg.norm(np.asarray(warped_t - live_t),
+                                     axis=-1))
+    assert err_t < 5e-4, err_t
