@@ -309,3 +309,25 @@ def test_uint16_depth_input_matches_int32():
         outs[dt] = (np.asarray(wv), np.asarray(wm))
     np.testing.assert_array_equal(outs[np.int32][0], outs[np.uint16][0])
     np.testing.assert_array_equal(outs[np.int32][1], outs[np.uint16][1])
+
+
+def test_kinfu_fused_frame_degenerate_reset_lags_one_frame():
+    """Fused rigid path failure flow: a depth frame with no usable
+    geometry makes the stencil ICP degenerate; the packed ok=False rides
+    the overlapped readback, so the reset lands when the NEXT call
+    resolves it (documented one-frame lag, engine/kinfu.py _rigid_frame).
+    After the reset the engine re-bootstraps and keeps tracking."""
+    kf = KinFu(small_kinfu_params())
+    kf(scene_depth())
+    kf(scene_depth())
+    assert kf.frame_counter == 2
+    empty = np.zeros((H, W), np.int32)
+    kf(empty)  # degenerate frame dispatched; not yet resolved
+    # next call resolves the pending failure -> reset -> frame 0 bootstrap
+    kf(scene_depth())
+    assert kf.frame_counter in (0, 1)  # reset happened (then bootstrapped)
+    # engine recovers: a fresh static pair tracks to identity again
+    kf(scene_depth())
+    kf(scene_depth())
+    R, t = kf.get_camera_pose()
+    np.testing.assert_allclose(np.asarray(t), 0.0, atol=1.5e-2)
