@@ -38,6 +38,8 @@ def run_dataset(
     rigid: bool = False,
     mode: Optional[str] = None,
     devices: int = 0,
+    fg_aabb=None,
+    max_fg_verts: int = 0,
 ) -> int:
     if rigid:
         return run_dataset_rigid(dataset, out_dir=out_dir, max_frames=max_frames,
@@ -64,6 +66,9 @@ def run_dataset(
             volume_dims=(volume_dims, volume_dims, volume_dims),
         )
         params = dataclasses.replace(params, kinfu=kf)
+    if fg_aabb is not None:
+        params = dataclasses.replace(params, fg_aabb=fg_aabb,
+                                     max_fg_verts=max_fg_verts)
 
     if devices and devices > 1:
         from dynfu_tpu.dist.driver import ShardedDynFusion

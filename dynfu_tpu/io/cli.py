@@ -35,6 +35,15 @@ def main(argv=None) -> int:
                      choices=["parity", "fixed", "fusion"],
                      help="DynFusion engine mode (default: parity; 'fusion' "
                           "= persistent canonical volume)")
+    run.add_argument("--fg-box", default=None, metavar="x0,y0,z0,x1,y1,z1",
+                     help="foreground-tracking box in volume-frame meters "
+                          "(DynFuParams.fg_aabb — VolumeDeform-style "
+                          "foreground masks as a box): warp/correspondence/"
+                          "solve track only vertices inside; background "
+                          "stays in the volume and exports")
+    run.add_argument("--max-fg-verts", type=int, default=1 << 15,
+                     help="tracked-set capacity with --fg-box (overflow "
+                          "counts as dropped correspondences)")
     run.add_argument("--devices", type=int, default=0,
                      help="run the engine sharded over an N-device mesh "
                           "(dist.driver.ShardedDynFusion; volume blocked, "
@@ -89,6 +98,12 @@ def main(argv=None) -> int:
         print_short_device_info()
         from dynfu_tpu.io.app import run_dataset
 
+        fg_aabb = None
+        if args.fg_box:
+            v = [float(x) for x in args.fg_box.split(",")]
+            if len(v) != 6:
+                parser.error("--fg-box needs 6 comma-separated numbers")
+            fg_aabb = (tuple(v[:3]), tuple(v[3:]))
         return run_dataset(
             args.dataset,
             out_dir=args.out,
@@ -100,6 +115,8 @@ def main(argv=None) -> int:
             rigid=args.rigid,
             mode=args.mode,
             devices=args.devices,
+            fg_aabb=fg_aabb,
+            max_fg_verts=args.max_fg_verts,
         )
     if args.cmd == "bench":
         from dynfu_tpu.utils.jaxcache import enable_compilation_cache
