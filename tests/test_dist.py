@@ -258,6 +258,52 @@ def test_sharded_engine_frame_unique_edges_matches(mesh):
     assert int(got[9].mc_dropped) == int(ref[9].mc_dropped) == 0
 
 
+def test_sharded_engine_frame_foreground_tracking_matches(mesh):
+    """Foreground tracking (DynFuParams.fg_aabb, round 5) under the mesh:
+    the in-program rank_select compaction of the tracked live set must
+    partition through GSPMD and reproduce the single-device frame."""
+    from dynfu_tpu.dist.engine_spmd import (place_engine_state,
+                                            sharded_engine_frame)
+    from dynfu_tpu.engine.dynfusion import DynFusion, _nonrigid_frame
+    from dynfu_tpu.engine.params import DynFuParams, KinFuParams
+    from dynfu_tpu.io.datasets import sphere_depth
+
+    rows, cols = 120, 160
+    intr = Intr(131.25, 131.25, cols / 2 - 0.5, rows / 2 - 0.5)
+    params = DynFuParams(
+        kinfu=KinFuParams(rows=rows, cols=cols, intr=intr,
+                          volume_dims=(64, 64, 64)),
+        max_vertices=1 << 13, max_mc_voxels=1 << 11,
+        max_nodes=128, max_new_nodes=64,
+        fg_aabb=((0.0, 0.0, 0.0), (3.0, 3.0, 1.2)),
+        max_fg_verts=1 << 12,
+    )
+    engine = DynFusion(params)
+    d0 = sphere_depth((0.0, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    d1 = sphere_depth((0.01, 0.0, 1.5), 0.5, rows, cols,
+                      intr.fx, intr.fy, intr.cx, intr.cy)
+    engine(d0)
+    dp, cfg = engine.dynfu_params, engine.tsdf_config
+    c, pose = engine._fg_canonical, engine.poses[-1]
+    assert c is not None and int(jnp.sum(c.mask)) > 100
+    args = (engine.vol, engine.warpfield, c.vertices, c.normals, c.mask,
+            jnp.asarray(d1, jnp.int32), pose)
+
+    ref = _nonrigid_frame(*args, dp=dp, intr=intr, config=cfg,
+                          strict_parity=True, integrate_mode="separable")
+    step = sharded_engine_frame(mesh, dp, intr, cfg, strict_parity=True)
+    got = step(*place_engine_state(mesh, *args))
+
+    # live tracked set (post-compaction) identical
+    np.testing.assert_allclose(np.asarray(got[4]), np.asarray(ref[4]),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got[6]), np.asarray(ref[6]))
+    np.testing.assert_allclose(np.asarray(got[1].dqs),
+                               np.asarray(ref[1].dqs), atol=1e-5)
+    assert int(got[9].corr_dropped) == int(ref[9].corr_dropped)
+
+
 def test_sharded_fusion_frame_runs(mesh):
     """The persistent-canonical fusion frame (projective correspondence +
     warped-back band integration) also executes under the mesh and matches
