@@ -823,7 +823,11 @@ class DynFusion(KinFu):
         return dists, filtered
 
     # -- the loop -----------------------------------------------------------
-    def __call__(self, depth_mm) -> bool:
+    def __call__(self, depth_mm, image=None) -> bool:
+        """Frame ingestion; `image` mirrors DynFusion::operator()(Depth,
+        Image) (dyn_fusion.hpp:50) — accepted and unused, as in the
+        reference."""
+        del image  # reference parity: color is part of the API, not the math
         dp = self.dynfu_params
         p = self.params
         # uint16 input (the Kinect wire format — the reference's depth is

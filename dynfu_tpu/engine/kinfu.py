@@ -317,7 +317,13 @@ class KinFu:
             fn = tv.raycast_march  # any-direction correctness fallback
         return fn(self.vol, pose, p.intr, (p.rows, p.cols), self.tsdf_config)
 
-    def __call__(self, depth_mm) -> bool:
+    def __call__(self, depth_mm, image=None) -> bool:
+        """Frame ingestion. `image` mirrors the reference's
+        operator()(Depth, Image) surface (kinfu.hpp:80; the demo loads a
+        color/ directory, demo.cpp:46-55) — the color frame is ACCEPTED
+        AND UNUSED, exactly as in the reference, whose math never reads
+        it."""
+        del image  # reference parity: color is part of the API, not the math
         p = self.params
 
         # fused single-program path: stencil ICP + auto raycast dispatch,

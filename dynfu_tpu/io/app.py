@@ -45,9 +45,10 @@ def run_dataset(
         return run_dataset_rigid(dataset, out_dir=out_dir, max_frames=max_frames,
                                  volume_dims=volume_dims, export_viz=export_viz,
                                  save_every=save_every)
-    depths, _ = meshio.list_dataset(dataset)
+    depths, colors = meshio.list_dataset(dataset)
     if max_frames:
         depths = depths[:max_frames]
+        colors = colors[:max_frames]
     if not depths:
         print(f"no depth frames found under {dataset}/depth")
         return 1
@@ -94,8 +95,13 @@ def run_dataset(
 
     for i in range(start, len(loader)):
         depth = loader[i]
+        # color frames ride the reference's operator()(Depth, Image)
+        # surface (demo.cpp:46-55); the engines accept and ignore them,
+        # exactly as the reference's math does
+        image = (meshio.load_color_png(colors[i])
+                 if i < len(colors) else None)
         with sampler:
-            has_surface = engine(depth)
+            has_surface = engine(depth, image)
             wv, wm = engine.warped_cloud()
             sync(wv)
         print(f"frame {i}: {'ok' if has_surface else 'bootstrap'}")
@@ -134,9 +140,10 @@ def run_dataset_rigid(
     from dynfu_tpu.engine.kinfu import KinFu
     from dynfu_tpu.engine.params import KinFuParams
 
-    depths, _ = meshio.list_dataset(dataset)
+    depths, colors = meshio.list_dataset(dataset)
     if max_frames:
         depths = depths[:max_frames]
+        colors = colors[:max_frames]
     if not depths:
         print(f"no depth frames found under {dataset}/depth")
         return 1

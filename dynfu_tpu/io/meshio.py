@@ -30,6 +30,16 @@ def load_depth_png(path: str) -> np.ndarray:
     return arr.astype(np.int32)
 
 
+def load_color_png(path: str) -> np.ndarray:
+    """8-bit color PNG -> (H, W, 3) uint8 (the reference's cv::imread of
+    the color/ directory, demo.cpp:46-55; the pipeline's math never reads
+    it — the frame API carries it for parity)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
 def list_dataset(root: str) -> Tuple[List[str], List[str]]:
     """Sorted depth/ and color/ file lists (DynFuApp::loadFiles,
     demo.cpp:39-55). color/ may be absent (depth-only pipeline)."""
