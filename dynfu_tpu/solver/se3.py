@@ -257,31 +257,62 @@ def _assemble_reg(wf, reg_idx, edge_mask, reg_w2, D, chunk: int = 2048,
     b = bk - jnp.einsum("drl,dri->li", OH, bj, precision=_hi)
 
     if similarity:
-        # SIMILARITY-MODE reg: marginalize a global uniform-scale mode out
-        # of the reg quadratic. A per-node RIGID field approximates a
-        # uniform expansion with irreducible inter-node disagreement
-        # r_kj ~ sigma (p_k - p_j) (sigma = scale rate), which the
-        # ARAP-style term prices — measured as the moving-camera fusion
-        # benchmark's dominant residual (under-tracked breathing,
-        # RESULTS round 4/5). Augmenting the linearized reg with a scalar
-        # sigma whose per-edge residual derivative is d_e = p_k - p_j
-        # (both endpoints shift by sigma (p - c); c cancels) and
-        # marginalizing it exactly is a rank-1 downdate of (A, b):
-        #   A -= (J^T d)(J^T d)^T / (d^T d),  b adjusts with (d^T r0).
-        # Local incoherence is still fully priced; only the single
-        # coherent-scale direction rides free (the data term determines
-        # the actual scale).
+        # SIMILARITY-MODE reg: marginalize a PER-COMPONENT uniform-scale
+        # mode out of the reg quadratic. A per-node RIGID field
+        # approximates a uniform expansion with irreducible inter-node
+        # disagreement r_kj ~ sigma (p_k - p_j) (sigma = scale rate),
+        # which the ARAP-style term prices — measured as the moving-camera
+        # fusion benchmark's dominant residual (under-tracked breathing,
+        # RESULTS round 4/5). The scale mode is augmented as one scalar
+        # sigma_c per CONNECTED COMPONENT of the reg graph — a single
+        # global sigma is useless the moment the scene holds a deforming
+        # object AND static background: the background nodes dominate the
+        # global direction, so the object's own scale stays fully priced
+        # (measured: bit-identical warped error with/without the global
+        # flag on the moving-camera scene). Per edge the residual
+        # derivative is d_e = p_k - p_j (both endpoints shift by
+        # sigma (p - c); the component center c cancels); scales do not
+        # couple across components, so the exact Schur complement is a
+        # rank-per-component downdate of (A, b):
+        #   A -= sum_c (J^T d)_c (J^T d)_c^T / (d^T d)_c
+        #   b -= sum_c ((d^T r0)_c / (d^T d)_c) (J^T d)_c.
+        # Local incoherence is still fully priced; only each component's
+        # single coherent-scale direction rides free (the data term
+        # determines the actual scale). For a connected reg graph this
+        # reduces exactly to the former global-mode formulation.
         d_e = (pos[:, None, :] - n_pos) * edge_mask[..., None]  # (D, K, 3)
         Jtd_k = jnp.einsum("dkai,dka->di", Gk, d_e, precision=_hi)
         Jtd_j = jnp.einsum("dkai,dka->dki", Gj, d_e, precision=_hi)
         Jtd = Jtd_k - jnp.einsum("drl,dri->li", OH, Jtd_j, precision=_hi)
-        dtd = jnp.sum(d_e * d_e)
-        dtr = jnp.sum(d_e * r0)
-        inv = jnp.where(dtd > 1e-12, 1.0 / jnp.maximum(dtd, 1e-12), 0.0)
-        v = Jtd.reshape(D * 6)
+
+        # connected-component labels by min-index propagation with
+        # pointer jumping (O(log D) rounds; 10 covers any D here). The
+        # pull/push mins ride the existing (D, K, D) one-hot instead of
+        # scatter-min — VPU-sized at D<=1k, and this assembly runs once
+        # per relinearization. Masked edges do not conduct.
+        conn = edge_mask > 0.0  # (D, K)
+
+        def _prop(_, lab):
+            pull = jnp.where(conn, lab[reg_idx], D).min(axis=1)
+            push = jnp.where(conn[..., None] & (OH > 0.0),
+                             lab[:, None, None], D).min(axis=(0, 1))
+            lab = jnp.minimum(lab, jnp.minimum(pull, push))
+            return jnp.minimum(lab, lab[lab])  # pointer jump
+
+        lab = jax.lax.fori_loop(0, 10, _prop,
+                                jnp.arange(D, dtype=jnp.int32))
+        OHc = (lab[:, None] == jnp.arange(D)).astype(jnp.float32)  # (D, D)
+        # every contribution landing at Jtd row m comes from an edge in
+        # m's own component (masked Gj blocks are zero), so attributing
+        # whole rows by the row node's label is exact
+        dtd_c = jnp.einsum("dl,d->l", OHc, jnp.sum(d_e * d_e, (1, 2)))
+        dtr_c = jnp.einsum("dl,d->l", OHc, jnp.sum(d_e * r0, (1, 2)))
+        inv_c = jnp.where(dtd_c > 1e-12,
+                          1.0 / jnp.maximum(dtd_c, 1e-12), 0.0)
+        V = (Jtd[:, :, None] * OHc[:, None, :]).reshape(D * 6, D)
         A = (A.reshape(D * 6, D * 6)
-             - inv * v[:, None] * v[None, :]).reshape(D, 6, D, 6)
-        b = b - (inv * dtr) * Jtd
+             - (V * inv_c[None, :]) @ V.T).reshape(D, 6, D, 6)
+        b = b - ((V * (inv_c * dtr_c)[None, :]).sum(-1)).reshape(D, 6)
 
     cost0 = jnp.sum(r0 * r0)
     return reg_w2 * A, -reg_w2 * b, reg_w2 * cost0

@@ -41,6 +41,9 @@ def main():
             volume_dims=512, rotations=True))
         run("fusion_512_se3_movingcam", lambda: run_fusion_benchmark(
             volume_dims=512, rotations=True, camera_motion=0.002))
+        run("fusion_512_se3_movingcam_simreg", lambda: run_fusion_benchmark(
+            volume_dims=512, rotations=True, camera_motion=0.002,
+            similarity_reg=True))
         run("umbrella_512", lambda: run_umbrella_benchmark(volume_dims=512))
         run("umbrella_512_fullscene", lambda: run_umbrella_benchmark(
             volume_dims=512, foreground=False))

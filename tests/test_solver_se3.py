@@ -210,3 +210,52 @@ def test_se3_similarity_reg_frees_the_coherent_scale_mode():
     err_t = np.median(np.linalg.norm(np.asarray(warped_t - live_t),
                                      axis=-1))
     assert err_t < 5e-4, err_t
+
+
+def test_se3_similarity_reg_is_per_component():
+    """similarity=True marginalizes one scale mode PER CONNECTED COMPONENT
+    of the reg graph (solver/se3.py _assemble_reg). Scene shape that broke
+    the global formulation (measured: bit-identical moving-camera error
+    with/without the flag): a deforming object plus static background. Two
+    disjoint node clusters — one carrying exactly a uniform expansion
+    about its own center, one static. The reg's rhs pull on the expanding
+    cluster must vanish (its scale mode rides free) while staying zero on
+    the static cluster; a graph-wide single mode cannot achieve this
+    because the static cluster anchors the global direction."""
+    rng = np.random.RandomState(7)
+    Da, Db = 10, 10
+    D = Da + Db
+    pos_a = rng.randn(Da, 3).astype(np.float32) * 0.2  # expanding cluster
+    pos_b = rng.randn(Db, 3).astype(np.float32) * 0.2 + np.asarray(
+        [3.0, 0.0, 0.0], np.float32)  # static cluster, far away
+    pos = np.concatenate([pos_a, pos_b])
+    sigma = 0.06
+    ca = pos_a.mean(0)
+    dqs = np.zeros((D, 8), np.float32)
+    dqs[:, 0] = 1.0
+    dqs[:Da, 5:8] = 0.5 * sigma * (pos_a - ca)  # Trans(sigma (p - ca))
+    wf = wfield.WarpField(
+        pos=jnp.asarray(pos), dqs=jnp.asarray(dqs),
+        w=jnp.full(D, 0.2, jnp.float32), mask=jnp.ones(D, bool),
+        count=jnp.asarray(D, jnp.int32))
+    # K-NN edges stay inside each cluster (clusters 3 m apart)
+    K = 4
+    reg_idx = np.zeros((D, K), np.int32)
+    for i in range(D):
+        lo, hi = (0, Da) if i < Da else (Da, D)
+        d2 = np.linalg.norm(pos[lo:hi] - pos[i], axis=1)
+        d2[i - lo] = np.inf
+        reg_idx[i] = lo + np.argsort(d2)[:K]
+    reg_idx = jnp.asarray(reg_idx)
+    em = jnp.ones((D, K), jnp.float32)
+
+    A_p, b_p, _ = se3._assemble_reg(wf, reg_idx, em, 1.0, D)
+    A_s, b_s, _ = se3._assemble_reg(wf, reg_idx, em, 1.0, D,
+                                    similarity=True)
+    nb_p = float(np.linalg.norm(np.asarray(b_p)))
+    nb_s = float(np.linalg.norm(np.asarray(b_s)))
+    assert nb_p > 1e-3, nb_p  # plain ARAP fights the expansion
+    assert nb_s < 1e-5 * max(nb_p, 1.0), (nb_s, nb_p)
+    # the downdated matrix stays PSD (exact per-component Schur)
+    w_eig = np.linalg.eigvalsh(np.asarray(A_s).reshape(D * 6, D * 6))
+    assert w_eig.min() > -1e-4, w_eig.min()
