@@ -327,6 +327,7 @@ def _nonrigid_frame(vol, wf, canonical_v, canonical_n, canonical_m, depth_mm,
             linear_iter=dp.solver.linear_iter, knn_k=dp.knn,
             relinearize=dp.se3_relinearize, incremental=True,
             rot_prior=dp.se3_rot_prior, trans_prior=dp.se3_trans_prior,
+            similarity_reg=dp.se3_similarity_reg,
         )
     else:
         k = dp.knn
